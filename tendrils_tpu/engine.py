@@ -1,0 +1,403 @@
+"""The Tendrils engine — orchestration of step / draw / spawn / resize.
+
+TPU-native re-derivation of `src/index.js:83-458`. Where the reference owns
+FBOs and issues GL passes, this engine owns a `SimState` pytree and composes
+pure ops into one jitted frame function:
+
+    frame(sim, params, time, dt):
+        particles' = logic_step(particles, flow, targets)   # src/index.js:248-272
+        flow'      = splat(flow, prev->curr segments, flow payload)
+                                                            # src/index.js:296-303
+        view'      = fade(view); view' = splat(view', render colours)
+                                                            # src/index.js:317-337
+ordering invariant preserved: the step reads the flow *before* the new flow is
+splatted ("so particles don't respond to their own flow",
+`src/index.js:297-298`) — functional dataflow makes this explicit.
+
+All ~20 reference state fields are traced arguments (never recompiled on
+change); structural settings (rootNum, resolutions, splat sample counts) are
+static config and rebuilding them is `setup()`, like the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import state as state_mod
+from .const import INERT
+from .ops import coords, flow as flow_ops, logic, render, spawn as spawn_ops
+from .ops import splat as splat_ops
+from .timer import Timer
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Static (shape/compile-affecting) engine configuration."""
+    root_num: int = 512
+    view_res: tuple[int, int] = (720, 1280)  # (H, W)
+    flow_res: tuple[int, int] | None = None  # defaults to view_res
+    num_view_buffers: int = 1  # ref demo uses numBuffers: 1
+    color_map_res: tuple[int, int] = (1, 1)
+    flow_levels: int = 1  # ref compiles levels=1 (src/logic.frag:39)
+    # Splat sampling (static): points along each segment and across the line
+    # width, per pass.
+    flow_samples: int = 4
+    flow_rows: int = 3
+    view_samples: int = 4
+    view_rows: int = 1
+    splat_backend: str = "xla"
+
+    @property
+    def n(self) -> int:
+        return self.root_num * self.root_num
+
+    @property
+    def flow_shape(self) -> tuple[int, int]:
+        return self.flow_res if self.flow_res is not None else self.view_res
+
+
+def default_params() -> dict[str, Any]:
+    """Traced-parameter schema (the reference `defaults().state` minus
+    structural fields) — ref `src/index.js:29-66`."""
+    st = state_mod.default_state()
+    p = state_mod.params_from_state(st)
+    # autoClearView / autoFade become traced 0/1 gates so presets can toggle
+    # them without recompiling.
+    p["autoClearView"] = jnp.float32(0.0)
+    p["autoFade"] = jnp.float32(1.0)
+    return p
+
+
+# --- Pure frame functions ---------------------------------------------------
+
+
+def flow_pyramid(flow_grid, levels):
+    """LOD pyramid for multi-level flow sampling (ref
+    `flow-at-screen-pos.glsl` levels loop; reference ships with levels=1 and
+    mipmaps disabled, `src/index.js:305-312`)."""
+    grids = [flow_grid]
+    g = flow_grid
+    for _ in range(1, levels):
+        c, h, w = g.shape
+        g = g.reshape(c, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+        grids.append(g)
+    return grids
+
+
+def step_sim(sim: state_mod.SimState, params, time, dt, cfg: EngineConfig,
+             uv, index01, view_size):
+    """Logic step + ping-pong — ref `src/index.js:248-272` +
+    `src/particles.js:123-145`."""
+    flows = flow_pyramid(sim.flow, cfg.flow_levels)
+    new_particles = logic.step_particles(
+        sim.particles, flows, sim.targets, params, uv, index01, view_size,
+        time, dt)
+    return dataclasses.replace(sim, particles=new_particles,
+                               previous=sim.particles)
+
+
+def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
+             colormap_uv, view_size, axis_name=None):
+    """Flow + view render passes — ref `src/index.js:278-340`.
+
+    With `axis_name` set (data-parallel shard_map over particles), the splat
+    partial sums are `psum`'d across shards before the blend resolve — the
+    sim's only collective (SURVEY §2.9).
+    """
+    pos = sim.particles[:2]
+    vel = sim.particles[2:]
+    prev_pos = sim.previous[:2]
+
+    alive = ((pos[0] != INERT) | (pos[1] != INERT)) & \
+            ((prev_pos[0] != INERT) | (prev_pos[1] != INERT))
+    live = alive.astype(jnp.float32)
+
+    def psum(parts):
+        if axis_name is None:
+            return parts
+        return jax.lax.psum(parts, axis_name)
+
+    # Segment endpoints in window pixels of each target grid.
+    p_clip0 = jnp.stack([prev_pos[0] * view_size[0],
+                         prev_pos[1] * view_size[1]], axis=-1)
+    p_clip1 = jnp.stack([pos[0] * view_size[0], pos[1] * view_size[1]],
+                        axis=-1)
+
+    # --- Flow pass (ref src/index.js:296-303): payload alpha-blended into
+    # the flow grid, which is NOT cleared (accumulates, decays on read).
+    fh, fw = cfg.flow_shape
+    payload = flow_ops.flow_payload(vel, time, params["speedLimit"])  # [4,N]
+    f0 = coords.clip_to_pixel(p_clip0, (fw, fh))
+    f1 = coords.clip_to_pixel(p_clip1, (fw, fh))
+    flow_parts = splat_ops.splat_segments_accumulate(
+        f0, f1, payload, payload[3] * live,
+        grid_hw=(fh, fw), width=params["flowWidth"],
+        samples=cfg.flow_samples, rows=cfg.flow_rows,
+        backend=cfg.splat_backend)
+    new_flow = splat_ops.composite_over(sim.flow, *psum(flow_parts))
+
+    # --- View pass (ref src/index.js:317-337): optional clear, fade, then
+    # particle render colours alpha-blended into view buffer 0.
+    h, w = cfg.view_res
+    view0 = sim.view[0]
+    view0 = view0 * (1.0 - params["autoClearView"])
+    fade_color = params["fadeColor"] * params["autoFade"]
+    view0 = render.fade_fill(view0, fade_color)
+
+    colors = render.particle_colors(pos, vel, colormap_uv, sim.color_map,
+                                    params, time)
+    v0 = coords.clip_to_pixel(p_clip0, (w, h))
+    v1 = coords.clip_to_pixel(p_clip1, (w, h))
+    view_parts = splat_ops.splat_segments_accumulate(
+        v0, v1, colors, colors[3] * live,
+        grid_hw=(h, w), width=params["lineWidth"],
+        samples=cfg.view_samples, rows=cfg.view_rows,
+        backend=cfg.splat_backend)
+    view0 = splat_ops.composite_over(view0, *psum(view_parts))
+
+    new_view = sim.view.at[0].set(view0)
+    return dataclasses.replace(sim, flow=new_flow, view=new_view)
+
+
+# --- Stateful engine --------------------------------------------------------
+
+
+class Tendrils:
+    """Stateful engine facade mirroring the reference class API
+    (`src/index.js:83`): `setup/reset/restart/step/draw/spawn/spawnShader/
+    clear*/drawFade/resize` — with a functional jitted core underneath."""
+
+    def __init__(self, config: EngineConfig | None = None, *,
+                 timer: Timer | None = None, seed: int = 0, **overrides):
+        self.config = config or EngineConfig(**overrides)
+        # Live-tweakable parameter dict (host-side mirror of
+        # `defaults().state`); converted to traced f32 leaves per call.
+        self.state = state_mod.default_state()
+        self.timer = timer or Timer()
+        if timer is None:
+            self.timer.step = 1000.0 / 60.0  # ref src/index.js:67
+        self.seed = seed
+        self.sim: state_mod.SimState | None = None
+        self._setup_static()
+
+    # -- setup / teardown
+
+    def _setup_static(self):
+        cfg = self.config
+        self._uv = state_mod.particle_uv(cfg.root_num)
+        self._index01 = state_mod.particle_index01(cfg.root_num)
+        self._frag_xy = self._uv * cfg.root_num  # texel-centre frag coords
+        h, w = cfg.view_res
+        self._view_size = jnp.asarray(coords.cover_aspect((w, h)),
+                                      jnp.float32)
+        # Colour-map UV per particle: the draw geometry's
+        # `uv * geomRes / dataRes` (`src/render/index.vert:65`; geomShape is
+        # [W, 2H], `src/index.js:195-198`), clamped like GL CLAMP_TO_EDGE.
+        r = cfg.root_num
+        idx = np.arange(cfg.n)
+        ix = (idx % r) / max(r - 1, 1)
+        iy = np.minimum((idx // r) * 2.0 / max(2 * r - 1, 1) * 2.0, 1.0)
+        self._colormap_uv = jnp.asarray(np.stack([ix, iy]), jnp.float32)
+
+    def setup(self, root_num: int | None = None):
+        """(Re)allocate particle + grid state — ref `src/index.js:149-154`."""
+        if root_num is not None and root_num != self.config.root_num:
+            self.config = dataclasses.replace(self.config,
+                                              root_num=int(root_num))
+            self.state["rootNum"] = int(root_num)
+            self._setup_static()
+        cfg = self.config
+        self.sim = state_mod.make_state(
+            cfg.root_num, cfg.view_res, cfg.num_view_buffers,
+            cfg.color_map_res, self.seed, cfg.flow_shape)
+        self.reset()
+        return self
+
+    def reset(self):
+        """Respawn all-inert — ref `src/index.js:156-160`."""
+        return self.spawn()
+
+    def restart(self):
+        """Clear + reset — ref `src/index.js:241-246`."""
+        self.clear()
+        return self.reset()
+
+    # -- clears (ref src/index.js:215-239)
+
+    def clear(self):
+        return self.clear_view().clear_flow()
+
+    def clear_view(self):
+        self.sim = dataclasses.replace(self.sim,
+                                       view=jnp.zeros_like(self.sim.view))
+        return self
+
+    def clear_flow(self):
+        self.sim = dataclasses.replace(self.sim,
+                                       flow=jnp.zeros_like(self.sim.flow))
+        return self
+
+    # -- parameters
+
+    def params(self):
+        p = state_mod.params_from_state(self.state)
+        p["autoClearView"] = jnp.float32(
+            1.0 if self.state.get("autoClearView") else 0.0)
+        p["autoFade"] = jnp.float32(
+            1.0 if self.state.get("autoFade", True) else 0.0)
+        return p
+
+    # -- per-frame API
+
+    def step(self):
+        """Ref `src/index.js:248-272` (honours timer pause)."""
+        if not self.timer.paused:
+            self.sim = _step_jit(self.sim, self.params(),
+                                 jnp.float32(self.timer.time),
+                                 jnp.float32(self.timer.dt), self.config,
+                                 self._uv, self._index01, self._view_size)
+        return self
+
+    def draw(self):
+        """Ref `src/index.js:278-340`."""
+        self.sim = _draw_jit(self.sim, self.params(),
+                             jnp.float32(self.timer.time), self.config,
+                             self._colormap_uv, self._view_size)
+        return self
+
+    def frame(self):
+        """tick + step + draw — one fused jitted frame (the hot loop)."""
+        self.timer.tick()
+        if self.timer.paused:
+            return self.draw()
+        self.sim = _frame_jit(self.sim, self.params(),
+                              jnp.float32(self.timer.time),
+                              jnp.float32(self.timer.dt), self.config,
+                              self._uv, self._index01, self._view_size,
+                              self._colormap_uv)
+        return self
+
+    # -- spawning
+
+    def spawn(self, spawner=None):
+        """CPU-spawner equivalent: replace both ping-pong buffers — ref
+        `src/index.js:425-429` + `src/particles.js:94-117`. `spawner` is a
+        pure `f32[4, N] -> f32[4, N]` function (default: all-inert init)."""
+        fn = spawner or spawn_ops.init
+        particles = fn(self.sim.particles)
+        self.sim = dataclasses.replace(self.sim, particles=particles,
+                                       previous=particles)
+        return self
+
+    def spawn_shader(self, op, target=None):
+        """GPU-respawn equivalent — ref `src/index.js:432-457`.
+
+        `op(prev_particles, engine) -> f32[4, N]` is a pure spawn op. With no
+        `target`, rotates the ping-pong and replaces the current state
+        (reading the pre-spawn current, like the rotated `buffers[1]` bind in
+        `src/particles.js:128-143`); with `target="targets"` writes the
+        targets buffer without rotating (reading `previous`, the un-rotated
+        `buffers[1]`)."""
+        self.timer.tick()
+        if target is None:
+            new = op(self.sim.particles, self)
+            self.sim = dataclasses.replace(self.sim, particles=new,
+                                           previous=self.sim.particles)
+        elif target == "targets":
+            new = op(self.sim.previous, self)
+            self.sim = dataclasses.replace(self.sim, targets=new)
+        else:
+            raise ValueError(f"unknown spawn target: {target}")
+        return self
+
+    # -- view helpers (ref src/index.js:342-391)
+
+    def draw_fade(self):
+        p = self.params()
+        view0 = render.fade_fill(self.sim.view[0], p["fadeColor"])
+        self.sim = dataclasses.replace(self.sim,
+                                       view=self.sim.view.at[0].set(view0))
+        return self
+
+    def step_buffers(self):
+        """Ring-rotate view buffers — ref `src/index.js:385-391` +
+        `src/utils/index.js:1-7`."""
+        if self.config.num_view_buffers > 1:
+            self.sim = dataclasses.replace(
+                self.sim, view=jnp.roll(self.sim.view, 1, axis=0))
+        return self
+
+    def resize(self, view_res, flow_res=None):
+        """Reallocate view/flow grids — ref `src/index.js:393-408` (state
+        content is not preserved across resize, same as FBO reshape)."""
+        self.config = dataclasses.replace(self.config,
+                                          view_res=tuple(view_res),
+                                          flow_res=flow_res)
+        self._setup_static()
+        cfg = self.config
+        h, w = cfg.view_res
+        fh, fw = cfg.flow_shape
+        self.sim = dataclasses.replace(
+            self.sim,
+            view=jnp.zeros((cfg.num_view_buffers, 4, h, w), jnp.float32),
+            flow=jnp.zeros((4, fh, fw), jnp.float32))
+        return self
+
+    def set_color_map(self, color_map):
+        """Replace the colour-map grid (`f32[4, h, w]`), reallocating if the
+        shape changed — ref colorMap FBO `src/index.js:94-96`."""
+        color_map = jnp.asarray(color_map, jnp.float32)
+        if color_map.shape != self.sim.color_map.shape:
+            self.config = dataclasses.replace(
+                self.config, color_map_res=color_map.shape[1:])
+        self.sim = dataclasses.replace(self.sim, color_map=color_map)
+        return self
+
+    @property
+    def view_image(self):
+        """Current view buffer as `f32[H, W, 4]`, row 0 at top (display)."""
+        return jnp.transpose(self.sim.view[0], (1, 2, 0))[::-1]
+
+
+# --- jitted cores -----------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def _step_jit(sim, params, time, dt, cfg, uv, index01, view_size):
+    return step_sim(sim, params, time, dt, cfg, uv, index01, view_size)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def _draw_jit(sim, params, time, cfg, colormap_uv, view_size):
+    return draw_sim(sim, params, time, cfg, colormap_uv, view_size)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def _frame_jit(sim, params, time, dt, cfg, uv, index01, view_size,
+               colormap_uv):
+    sim = step_sim(sim, params, time, dt, cfg, uv, index01, view_size)
+    return draw_sim(sim, params, time, cfg, colormap_uv, view_size)
+
+
+def run_headless(sim, params, cfg: EngineConfig, uv, index01, view_size,
+                 colormap_uv, t0, dt, steps):
+    """Fixed-step headless run under `lax.scan` (SURVEY §7 pillar 2).
+
+    Buffers are threaded through the scan carry (double-buffering by
+    functional update); returns the final state.
+    """
+
+    def body(sim, i):
+        time = t0 + dt * (i + 1)
+        sim = step_sim(sim, params, time, dt, cfg, uv, index01, view_size)
+        sim = draw_sim(sim, params, time, cfg, colormap_uv, view_size)
+        return sim, ()
+
+    sim, _ = jax.lax.scan(body, sim, jnp.arange(steps, dtype=jnp.float32))
+    return sim

@@ -1,0 +1,19 @@
+"""Test config: run on the CPU backend with 8 virtual devices so sharding
+tests exercise multi-chip paths without TPU hardware (SURVEY §4).
+
+Note: the environment's sitecustomize registers a TPU PJRT plugin and pins
+`JAX_PLATFORMS`; backends initialise lazily, so forcing the platform via
+`jax.config` here (before any backend use) still wins.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)

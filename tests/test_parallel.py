@@ -1,0 +1,75 @@
+"""Multi-chip tests on the 8-virtual-device CPU mesh (SURVEY §4): the
+data-parallel frame must match the single-device frame exactly (the psum'd
+splat partial sums are associative float adds over disjoint particle sets;
+CPU keeps them bit-stable enough for tight tolerances)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tendrils_tpu import EngineConfig, Tendrils
+from tendrils_tpu.engine import draw_sim, step_sim
+from tendrils_tpu.ops import spawn
+from tendrils_tpu.parallel import make_mesh, parallel_frame, shard_sim
+
+
+@pytest.fixture
+def engine():
+    cfg = EngineConfig(root_num=32, view_res=(32, 64), flow_samples=2,
+                       flow_rows=1, view_samples=2)
+    eng = Tendrils(cfg)
+    eng.setup()
+    eng.spawn_shader(
+        lambda p, e: spawn.ball(p, e._frag_xy, 0.5, 0.01))
+    return eng
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_parallel_frame_matches_single(engine):
+    eng = engine
+    params = eng.params()
+    t, dt = jnp.float32(16.0), jnp.float32(16.0)
+
+    # Single-device reference.
+    ref = step_sim(eng.sim, params, t, dt, eng.config, eng._uv, eng._index01,
+                   eng._view_size)
+    ref = draw_sim(ref, params, t, eng.config, eng._colormap_uv,
+                   eng._view_size)
+
+    mesh = make_mesh()
+    sim_sharded = shard_sim(eng.sim, mesh)
+    out = parallel_frame(sim_sharded, params, t, dt, eng.config, eng._uv,
+                         eng._index01, eng._view_size, eng._colormap_uv, mesh)
+
+    np.testing.assert_allclose(np.asarray(out.particles),
+                               np.asarray(ref.particles), rtol=1e-4,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out.flow), np.asarray(ref.flow),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.view), np.asarray(ref.view),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_parallel_multi_step_stable(engine):
+    eng = engine
+    mesh = make_mesh()
+    sim = shard_sim(eng.sim, mesh)
+    params = eng.params()
+    for i in range(3):
+        t = jnp.float32(16.0 * (i + 1))
+        sim = parallel_frame(sim, params, t, jnp.float32(16.0), eng.config,
+                             eng._uv, eng._index01, eng._view_size,
+                             eng._colormap_uv, mesh)
+    p = np.asarray(sim.particles)
+    assert np.isfinite(p).all()
+    speed = np.sqrt(p[2] ** 2 + p[3] ** 2)
+    assert np.all(speed <= float(params["speedLimit"]) + 1e-6)
+    # Flow got written by all shards' particles.
+    assert np.abs(np.asarray(sim.flow)[3]).sum() > 0
