@@ -52,6 +52,7 @@ class EngineConfig:
     view_samples: int = 4
     view_rows: int = 1
     splat_backend: str = "xla"
+    gather_backend: str = "xla"
 
     @property
     def n(self) -> int:
@@ -90,6 +91,20 @@ def flow_pyramid(flow_grid, levels):
     return grids
 
 
+def _gather_fn(cfg: EngineConfig):
+    if cfg.gather_backend == "xla":
+        return None  # flow_at_screen_pos default (XLA bilinear gather)
+    if cfg.gather_backend == "pallas":
+        from .ops.gather_pallas import bilinear_gather
+
+        def sample_fn(grid, uv):
+            _, h, w = grid.shape
+            return bilinear_gather(grid, uv[..., 0] * w, uv[..., 1] * h)
+
+        return sample_fn
+    raise ValueError(f"unknown gather backend: {cfg.gather_backend}")
+
+
 def step_sim(sim: state_mod.SimState, params, time, dt, cfg: EngineConfig,
              uv, index01, view_size):
     """Logic step + ping-pong — ref `src/index.js:248-272` +
@@ -97,7 +112,7 @@ def step_sim(sim: state_mod.SimState, params, time, dt, cfg: EngineConfig,
     flows = flow_pyramid(sim.flow, cfg.flow_levels)
     new_particles = logic.step_particles(
         sim.particles, flows, sim.targets, params, uv, index01, view_size,
-        time, dt)
+        time, dt, sample_fn=_gather_fn(cfg))
     return dataclasses.replace(sim, particles=new_particles,
                                previous=sim.particles)
 

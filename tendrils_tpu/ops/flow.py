@@ -47,19 +47,23 @@ def flow_decayed(data, time, decay):
     return data[:2] * age
 
 
-def flow_at_screen_pos(pos_screen, flows, time, flow_decay):
+def flow_at_screen_pos(pos_screen, flows, time, flow_decay, sample_fn=None):
     """Flow force at screen positions — ref `src/flow/flow-at-screen-pos.glsl`.
 
     `pos_screen: f32[N, 2]` in clip space (already `pos * viewSize`);
     `flows`: list of flow grids `f32[4, H, W]`, one per LOD level (stride
     handled by the caller supplying the right pyramid levels).
-    Returns `f32[2, N]`.
+    `sample_fn(grid, uv) -> f32[4, N]` selects the gather backend (defaults
+    to the XLA bilinear gather; the engine passes the Pallas tile gather on
+    its TPU hot path). Returns `f32[2, N]`.
     """
+    if sample_fn is None:
+        sample_fn = sample.sample_uv
     uv = coords.pos_to_uv(pos_screen)
     force = 0.0
     total = 0.0
     for level, grid in enumerate(flows):
-        data = sample.sample_uv(grid, uv)
+        data = sample_fn(grid, uv)
         factor = 1.0 / (level + 1.0)
         force = force + flow_decayed(data, time, flow_decay) * factor
         total = total + factor

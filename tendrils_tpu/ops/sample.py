@@ -28,8 +28,10 @@ def bilinear_sample(grid, x, y):
     Returns `f32[C, N]`. Clamp-to-edge addressing.
     """
     c, h, w = grid.shape
-    gx = x - 0.5
-    gy = y - 0.5
+    # CLAMP_TO_EDGE: clamp the sample position into the texel-centre span, so
+    # edge samples read the edge texel (GL semantics).
+    gx = jnp.clip(x, 0.5, w - 0.5) - 0.5
+    gy = jnp.clip(y, 0.5, h - 0.5) - 0.5
     x0 = jnp.floor(gx)
     y0 = jnp.floor(gy)
     fx = gx - x0
