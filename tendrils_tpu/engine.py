@@ -331,6 +331,45 @@ class Tendrils:
             raise ValueError(f"unknown spawn target: {target}")
         return self
 
+    # -- flow injection (flow lines, optical flow)
+
+    def inject_flow_segments(self, p0_pix, p1_pix, vel, width_px,
+                             samples=None):
+        """Splat velocity-painting segments into the flow grid — the TPU
+        equivalent of drawing FlowLine ribbons into the flow FBO
+        (`demo.main.js:1107-1122`). `vel`: `f32[2, S]` velocities in the
+        flow-payload convention."""
+        if np.shape(p0_pix)[0] == 0:
+            return self
+        p = self.params()
+        fh, fw = self.config.flow_shape
+        time = jnp.float32(self.timer.time)
+        vel = jnp.asarray(vel, jnp.float32)
+        payload = flow_ops.flow_payload(vel, time, p["speedLimit"])
+        rows = max(1, self.config.flow_rows)
+        new_flow = splat_ops.splat_segments(
+            self.sim.flow, jnp.asarray(p0_pix), jnp.asarray(p1_pix),
+            payload, payload[3], grid_hw=(fh, fw),
+            width=jnp.float32(max(width_px, 1.0)),
+            samples=samples or self.config.flow_samples, rows=rows,
+            backend=self.config.splat_backend)
+        self.sim = dataclasses.replace(self.sim, flow=new_flow)
+        return self
+
+    def composite_flow(self, payload_grid):
+        """Alpha-blend a full-screen flow payload (e.g. optical flow) over
+        the flow grid — ref `demo.main.js:1150-1156`."""
+        from .ops.optical_flow import composite_flow as _composite
+        fh, fw = self.config.flow_shape
+        payload_grid = jnp.asarray(payload_grid, jnp.float32)
+        if payload_grid.shape[1:] != (fh, fw):
+            import jax.image
+            payload_grid = jax.image.resize(payload_grid, (4, fh, fw),
+                                            "bilinear")
+        self.sim = dataclasses.replace(
+            self.sim, flow=_composite(self.sim.flow, payload_grid))
+        return self
+
     # -- view helpers (ref src/index.js:342-391)
 
     def draw_fade(self):

@@ -1,0 +1,77 @@
+"""Media inputs: video-frame feed and the optical-flow wrapper.
+
+The reference uploads camera frames to GL textures and double-buffers them
+for optical flow (`src/optical-flow/index.js:32-73`); here frames are numpy
+arrays pushed from any source (camera client, video decoder, synthetic) and
+the flow kernel is `ops.optical_flow`.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from .ops import optical_flow as of_ops
+
+
+def image_to_grid(img):
+    """`[H, W, 3|4]` uint8/float image (row 0 = top) -> engine grid
+    `f32[4, H, W]` (row 0 = clip bottom)."""
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+    img = img[::-1]  # flip to the engine's bottom-up rows
+    if img.shape[-1] == 3:
+        img = np.concatenate([img, np.ones_like(img[..., :1])], axis=-1)
+    return jnp.asarray(np.moveaxis(img, -1, 0).copy(), jnp.float32)
+
+
+def grid_to_image(grid):
+    """Engine grid `f32[4, H, W]` -> `[H, W, 4]` float image, row 0 = top."""
+    return np.moveaxis(np.asarray(grid), 0, -1)[::-1]
+
+
+class OpticalFlow:
+    """Double-buffered optical-flow source — ref `src/optical-flow/index.js`.
+
+    `set_pixels(frame)` pushes the newest frame; `update(...)` computes the
+    flow payload between the two buffered frames; `step()` rotates buffers.
+    """
+
+    def __init__(self, uniforms=None):
+        self.uniforms = dict({
+            "offset": 1.0, "lambda": 0.001, "speed": 1.0,
+            "speedLimit": 1.0,
+        }, **(uniforms or {}))
+        self.buffers = [None, None]
+
+    def set_pixels(self, frame):
+        """Upload the new frame into buffer 0 (`optical-flow/index.js:64-66`).
+
+        `frame`: `[H, W, C]` image array or an engine grid `f32[4, H, W]`.
+        """
+        grid = (frame if (hasattr(frame, "shape") and len(frame.shape) == 3
+                          and frame.shape[0] == 4)
+                else image_to_grid(frame))
+        grid = jnp.asarray(grid, jnp.float32)
+        if self.buffers[1] is None or self.buffers[1].shape != grid.shape:
+            self.buffers[1] = jnp.zeros_like(grid)
+        self.buffers[0] = grid
+        return self
+
+    def update(self, time, **overrides):
+        """Compute the flow payload between current and last frames."""
+        u = dict(self.uniforms, **overrides)
+        return of_ops.optical_flow(
+            self.buffers[0], self.buffers[1], time,
+            offset=u["offset"], lambda_=u["lambda"], speed=u["speed"],
+            speed_limit=u["speedLimit"])
+
+    def step(self):
+        """Rotate the frame ring — ref `optical-flow/index.js:59-61`."""
+        self.buffers = [self.buffers[1], self.buffers[0]]
+        return self
+
+    def resize(self, shape_hw):
+        c = 4
+        h, w = shape_hw
+        self.buffers = [jnp.zeros((c, h, w), jnp.float32) for _ in range(2)]
+        return self
