@@ -44,8 +44,11 @@ def particle_colors(pos, vel, colormap_uv, color_map, params, time):
     """
     speed_limit = params["speedLimit"]
     vel_n = vel / speed_limit
+    # speedAlpha = 0 means "saturate immediately" (presets use it, e.g.
+    # 'Flow Only'); guard the 0/0 the GLSL leaves undefined.
     speed_rate = jnp.minimum(
-        (vel_n[0] ** 2 + vel_n[1] ** 2) / params["speedAlpha"], 1.0)
+        (vel_n[0] ** 2 + vel_n[1] ** 2)
+        / jnp.maximum(params["speedAlpha"], 1e-12), 1.0)
 
     # Colour map
     mapped = sample.sample_uv(color_map, colormap_uv.T)  # [4, N]
