@@ -53,6 +53,10 @@ class EngineConfig:
     view_rows: int = 1
     splat_backend: str = "xla"
     gather_backend: str = "xla"
+    # Fuse the flow+view splats into one sort+kernel (pallas backend,
+    # single-device, flow_res == view_res). Line widths become post-hoc
+    # blurs of the accumulation (see ops/draw_pallas.py).
+    fused_draw: bool = True
 
     @property
     def n(self) -> int:
@@ -143,6 +147,26 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
                          prev_pos[1] * view_size[1]], axis=-1)
     p_clip1 = jnp.stack([pos[0] * view_size[0], pos[1] * view_size[1]],
                         axis=-1)
+
+    # Fused fast path: both passes in one sort + one Pallas kernel.
+    if (cfg.fused_draw and cfg.splat_backend == "pallas"
+            and axis_name is None and cfg.flow_shape == cfg.view_res):
+        from .ops.draw_pallas import fused_draw
+        h, w = cfg.view_res
+        colors = render.particle_colors(pos, vel, colormap_uv,
+                                        sim.color_map, params, time)
+        p0 = coords.clip_to_pixel(p_clip0, (w, h))
+        p1 = coords.clip_to_pixel(p_clip1, (w, h))
+
+        view0 = sim.view[0]
+        view0 = view0 * (1.0 - params["autoClearView"])
+        view0 = render.fade_fill(view0, params["fadeColor"]
+                                 * params["autoFade"])
+        new_flow, view0 = fused_draw(
+            sim.flow, view0, p0, p1, vel, colors, live, params, time,
+            grid_hw=(h, w), samples=cfg.view_samples)
+        return dataclasses.replace(sim, flow=new_flow,
+                                   view=sim.view.at[0].set(view0))
 
     # --- Flow pass (ref src/index.js:296-303): payload alpha-blended into
     # the flow grid, which is NOT cleared (accumulates, decays on read).

@@ -1,0 +1,347 @@
+"""Fused draw: both render passes (flow payload + view colour) in ONE
+sort + ONE Pallas splat kernel.
+
+The reference draws particles twice per frame — GL_LINES into the flow FBO,
+then into the view buffer (`src/index.js:296-337`). Both passes splat the
+same segment samples, so on TPU they share one tile binning: 12 accumulation
+channels (flow: payload×α, α, log-transmittance; view: colour×α, α,
+log-transmittance) land in one matmul per tile visit,
+A[12·16, BK] @ X[BK, 256].
+
+Sort bandwidth is the hot cost, so sample attributes ride in 15-bit
+fixed-point pairs packed two-per-int32 (positions at 1/8 px, velocities over
+±speedLimit, colours over [0, 4)) — 6 sort operands instead of 10; the kernel
+unpacks and derives everything else (bilinear corners/weights, flow alpha,
+log-transmittances) on the VPU.
+
+Line width: the flow pass's `lineWidth(flowWidth)` (`src/index.js:302`) is
+applied after accumulation as a traced-radius box blur of the flow channels
+scaled back up by the width — isotropic rather than strictly perpendicular
+spread (documented deviation; the flow field is sampled smoothly anyway,
+ref's own mipmap intent `src/index.js:305-312`).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .splat import composite_over
+from .splat_pallas import (PAD_LO_H, PAD_LO_W, REGION_H, REGION_W, TILE_H,
+                           TILE_W, _pad_dims)
+
+BLOCK = 2048
+# Accumulated channels: flow (vx·α, vy·α, wf·α, α, log(1-α)) + view
+# (r·α, g·α, b·α, a·α, α, log(1-α)). The flow stamp channel is derived at
+# resolve time (stamp ≡ current time for every sample ⇒ num_stamp =
+# time · wsum), saving a channel.
+N_CHAN = 11
+HALF = 32767  # 15-bit field max
+COLOR_MAX = 4.0  # colour channels clamp range for fixed-point
+
+
+def _pos_scale(hp, wp):
+    """Subpixel steps per pixel (power of two) so coords fit 15 bits.
+
+    1080p grids get 1/8 px, 4K 1/4 px — splat placement jitter ≤ half that,
+    far below the reference rasteriser's own sampling granularity."""
+    p = 64
+    while p > 1 and max(hp, wp) * p > HALF:
+        p //= 2
+    return p
+
+
+def _pack2(hi, lo):
+    return hi * (HALF + 1) + lo
+
+
+def _q15(v, lo, hi):
+    """Quantise [lo, hi] -> [0, HALF]."""
+    t = jnp.clip((v - lo) / (hi - lo), 0.0, 1.0)
+    return jnp.round(t * HALF).astype(jnp.int32)
+
+
+def _kernel(scal_ref, key_ref, pos_ref, vel_ref, rg_ref, ba_ref, as_ref,
+            accum_ref, out_ref, region, sem_in, sem_out, *, tiles_x,
+            pscale):
+    """scal: f32[1, 2] SMEM (speedLimit, time)."""
+    del accum_ref
+    speed_limit = scal_ref[0, 0]
+
+    key = key_ref[:]
+    t_hi = key_ref[BLOCK - 1]
+
+    # Hoisted per-block unpack + derivations (VPU, once per 2048 samples).
+    pos = pos_ref[:]
+    xq = pos & HALF
+    yq = pos >> 15
+    inv_p = 1.0 / pscale
+    gx = xq.astype(jnp.float32) * inv_p - 0.5
+    gy = yq.astype(jnp.float32) * inv_p - 0.5
+    c0 = jnp.floor(gx)
+    r0 = jnp.floor(gy)
+    wx0 = 1.0 - (gx - c0)
+    wy0 = 1.0 - (gy - r0)
+    r0i = r0.astype(jnp.int32)
+    c0i = c0.astype(jnp.int32)
+
+    def unq(q, lo, hi):
+        return q.astype(jnp.float32) * ((hi - lo) / HALF) + lo
+
+    vel = vel_ref[:]
+    vx = unq(vel & HALF, -1.0, 1.0) * speed_limit
+    vy = unq(vel >> 15, -1.0, 1.0) * speed_limit
+    rg = rg_ref[:]
+    cr = unq(rg & HALF, 0.0, COLOR_MAX)
+    cg = unq(rg >> 15, 0.0, COLOR_MAX)
+    ba = ba_ref[:]
+    cb = unq(ba & HALF, 0.0, COLOR_MAX)
+    ca = unq(ba >> 15, 0.0, COLOR_MAX)
+    ascale = as_ref[:]
+
+    wf = jnp.minimum(jnp.sqrt(vx * vx + vy * vy) / speed_limit, 1.0)
+    af = jnp.minimum(wf * ascale, 1.0 - 1e-4)
+    av = jnp.clip(ca * ascale, 0.0, 1.0 - 1e-4)
+
+    chan = [vx * af, vy * af, wf * af, af, jnp.log1p(-af),
+            cr * av, cg * av, cb * av, ca * av, av, jnp.log1p(-av)]
+
+    def tile_step(t):
+        ty = t // tiles_x
+        tx = t - ty * tiles_x
+        row0 = ty * TILE_H
+        col0 = tx * TILE_W
+
+        load = pltpu.make_async_copy(
+            out_ref.at[:, pl.ds(row0, REGION_H), pl.ds(col0, REGION_W)],
+            region, sem_in)
+        load.start()
+
+        live = (key == t).astype(jnp.float32)
+        lr = r0i - row0
+        lc = c0i - col0
+
+        # A/X in bf16: channel magnitudes are O(1) (velocities pre-divided by
+        # speedLimit would be, colours <= 4, alphas <= 1, logs <= ~9), so the
+        # ~0.4% rounding is far below the splat's own quantisation; the MXU
+        # runs bf16 x bf16 -> f32 at full rate vs multi-pass f32.
+        rows = jax.lax.broadcasted_iota(jnp.int32, (REGION_H, BLOCK), 0)
+        a_r0 = (rows == lr[None, :]).astype(jnp.float32) * (wy0 * live)[None]
+        a_r1 = (rows == (lr + 1)[None, :]).astype(jnp.float32) * (
+            (1.0 - wy0) * live)[None]
+        a_mat = jnp.concatenate(
+            [a_r0 * chan[ch][None, :] + a_r1 * chan[ch][None, :]
+             for ch in range(N_CHAN)], axis=0).astype(jnp.bfloat16)
+
+        cols = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, REGION_W), 1)
+        x_mat = ((cols == lc[:, None]).astype(jnp.float32) * wx0[:, None]
+                 + (cols == (lc + 1)[:, None]).astype(jnp.float32)
+                 * (1.0 - wx0)[:, None]).astype(jnp.bfloat16)
+
+        contrib = jnp.dot(a_mat, x_mat, preferred_element_type=jnp.float32)
+        contrib = contrib.reshape(N_CHAN, REGION_H, REGION_W)
+
+        load.wait()
+        region[:] = region[:] + contrib
+
+        store = pltpu.make_async_copy(
+            region,
+            out_ref.at[:, pl.ds(row0, REGION_H), pl.ds(col0, REGION_W)],
+            sem_out)
+        store.start()
+        store.wait()
+
+        return jnp.min(jnp.where(key > t, key, jnp.int32(2 ** 30)))
+
+    jax.lax.while_loop(lambda t: t <= t_hi, tile_step, key_ref[0])
+
+
+MAX_BLUR = 32  # static bound for the traced-radius blur
+
+
+def _box_blur_traced(img, radius):
+    """Separable box blur with a *traced* integer radius (clamped to
+    MAX_BLUR), via edge-padded cumsum + dynamic slices — few XLA kernels."""
+    r = jnp.clip(jnp.round(radius).astype(jnp.int32), 0, MAX_BLUR)
+    inv = 1.0 / (2 * r + 1).astype(jnp.float32)
+
+    def blur_axis(x, axis):
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (MAX_BLUR + 1, MAX_BLUR)
+        csum = jnp.cumsum(jnp.pad(x, pad, mode="edge"), axis=axis)
+        n = x.shape[axis]
+        starts_hi = [0] * x.ndim
+        starts_lo = [0] * x.ndim
+        starts_hi[axis] = MAX_BLUR + 1 + r
+        starts_lo[axis] = MAX_BLUR - r
+        size = list(x.shape)
+        hi = jax.lax.dynamic_slice(csum, starts_hi, size)
+        lo = jax.lax.dynamic_slice(csum, starts_lo, size)
+        return (hi - lo) * inv
+
+    return blur_axis(blur_axis(img, 1), 2)
+
+
+def _prep_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
+                 vy_ref, cr_ref, cg_ref, cb_ref, ca_ref, live_ref,
+                 key_ref, pos_ref, vel_ref, rg_ref, ba_ref, as_ref, *,
+                 samples, tiles_x, pscale, h, w):
+    """Segment expansion + quantised packing, one Pallas pass (the XLA
+    version of this prep is ~30 kernels × the environment's per-launch
+    overhead). Each grid block maps SEG segments -> SEG*samples samples,
+    ordered sample-major ([all s=0 | all s=1 | ...]) — order is irrelevant,
+    the sort follows."""
+    sl = jnp.maximum(scal_ref[0, 0], 1e-12)
+
+    p0x = p0x_ref[:]
+    p0y = p0y_ref[:]
+    dx = p1x_ref[:] - p0x
+    dy = p1y_ref[:] - p0y
+    length = jnp.sqrt(dx * dx + dy * dy)
+    ascale_seg = live_ref[:] * jnp.maximum(length, 1.0) / samples
+
+    def q15(v, lo, hi):
+        t = jnp.clip((v - lo) / (hi - lo), 0.0, 1.0)
+        return jnp.round(t * HALF).astype(jnp.int32)
+
+    vel_u_seg = q15(vy_ref[:] / sl, -1.0, 1.0) * (HALF + 1) + q15(
+        vx_ref[:] / sl, -1.0, 1.0)
+    rg_u_seg = q15(cg_ref[:], 0.0, COLOR_MAX) * (HALF + 1) + q15(
+        cr_ref[:], 0.0, COLOR_MAX)
+    ba_u_seg = q15(ca_ref[:], 0.0, COLOR_MAX) * (HALF + 1) + q15(
+        cb_ref[:], 0.0, COLOR_MAX)
+
+    seg = p0x.shape[0]
+    for s in range(samples):
+        ts = (s + 0.5) / samples
+        x = p0x + dx * ts
+        y = p0y + dy * ts
+        xp = jnp.clip(x + PAD_LO_W, 1.0, PAD_LO_W + w + 1.0)
+        yp = jnp.clip(y + PAD_LO_H, 1.0, PAD_LO_H + h + 1.0)
+        moved = ((x + PAD_LO_W != xp) | (y + PAD_LO_H != yp))
+        a = jnp.where(moved, 0.0, ascale_seg)
+
+        xq = jnp.round(xp * pscale).astype(jnp.int32)
+        yq = jnp.round(yp * pscale).astype(jnp.int32)
+
+        gxq = xq.astype(jnp.float32) * (1.0 / pscale) - 0.5
+        gyq = yq.astype(jnp.float32) * (1.0 / pscale) - 0.5
+        key = ((jnp.floor(gyq).astype(jnp.int32) // TILE_H) * tiles_x
+               + (jnp.floor(gxq).astype(jnp.int32) // TILE_W))
+
+        sl_out = pl.ds(s * seg, seg)
+        key_ref[sl_out] = key
+        pos_ref[sl_out] = yq * (HALF + 1) + xq
+        vel_ref[sl_out] = vel_u_seg
+        rg_ref[sl_out] = rg_u_seg
+        ba_ref[sl_out] = ba_u_seg
+        as_ref[sl_out] = a
+
+
+@functools.partial(jax.jit, static_argnames=("grid_hw", "samples",
+                                             "interpret"))
+def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, colors, live,
+                          speed_limit, time, *, samples=2, interpret=None):
+    """Accumulate both passes' splats.
+
+    `p0_pix`/`p1_pix`: `f32[N, 2]` segment endpoints (window px of the shared
+    flow/view grid); `vel`: `f32[2, N]`; `colors`: `f32[4, N]` render RGBA;
+    `live`: `f32[N]` alive mask. Returns (flow_parts, view_parts) each
+    `(num [4,H,W], wsum [H,W], logt [H,W])`.
+    `interpret=None` auto-selects interpreter mode off-TPU.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    h, w = grid_hw
+    hp, wp = _pad_dims(h, w)
+    tiles_x = wp // TILE_W
+    pscale = _pos_scale(hp, wp)
+
+    # Pad segments to a prep-block multiple (no-op for root_num >= 32).
+    n = p0_pix.shape[0]
+    seg_block = BLOCK // samples
+    n_pad = (n + seg_block - 1) // seg_block * seg_block
+    if n_pad != n:
+        pad = n_pad - n
+        p0_pix = jnp.pad(p0_pix, ((0, pad), (0, 0)))
+        p1_pix = jnp.pad(p1_pix, ((0, pad), (0, 0)))
+        vel = jnp.pad(vel, ((0, 0), (0, pad)))
+        colors = jnp.pad(colors, ((0, 0), (0, pad)))
+        live = jnp.pad(live, (0, pad))
+    m_pad = n_pad * samples
+
+    scal = jnp.asarray([[speed_limit, time]], jnp.float32)
+    seg_spec = pl.BlockSpec((seg_block,), lambda b: (b,),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((BLOCK,), lambda b: (b,),
+                            memory_space=pltpu.VMEM)
+    i32 = jnp.int32
+    key, pos_u, vel_u, rg_u, ba_u, ascale = pl.pallas_call(
+        functools.partial(_prep_kernel, samples=samples, tiles_x=tiles_x,
+                          pscale=pscale, h=h, w=w),
+        grid=(n_pad // seg_block,),
+        in_specs=([pl.BlockSpec((1, 2), lambda b: (0, 0),
+                                memory_space=pltpu.SMEM)]
+                  + [seg_spec] * 11),
+        out_specs=[out_spec] * 6,
+        out_shape=[jax.ShapeDtypeStruct((m_pad,), d)
+                   for d in (i32, i32, i32, i32, i32, jnp.float32)],
+        interpret=interpret,
+    )(scal, p0_pix[:, 0], p0_pix[:, 1], p1_pix[:, 0], p1_pix[:, 1],
+      vel[0], vel[1], colors[0], colors[1], colors[2], colors[3], live)
+
+    key, pos_u, vel_u, rg_u, ba_u, ascale = jax.lax.sort(
+        [key, pos_u, vel_u, rg_u, ba_u, ascale], num_keys=1)
+
+    accum0 = jnp.zeros((N_CHAN, hp, wp), jnp.float32)
+
+    blocked = pl.BlockSpec((BLOCK,), lambda b: (b,),
+                           memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_kernel, tiles_x=tiles_x, pscale=pscale),
+        grid=(m_pad // BLOCK,),
+        in_specs=([pl.BlockSpec((1, 2), lambda b: (0, 0),
+                                memory_space=pltpu.SMEM)]
+                  + [blocked] * 6
+                  + [pl.BlockSpec(memory_space=pl.ANY)]),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((N_CHAN, hp, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((N_CHAN, REGION_H, REGION_W), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={7: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(scal, key, pos_u, vel_u, rg_u, ba_u, ascale, accum0)
+
+    out = out[:, PAD_LO_H:PAD_LO_H + h, PAD_LO_W:PAD_LO_W + w]
+    # Reassemble the flow payload: stamp num = time · wsum (constant stamp).
+    stamp_num = time * out[3]
+    fnum = jnp.concatenate([out[0:2], stamp_num[None], out[2:3]])
+    flow_parts = (fnum, out[3], out[4])
+    view_parts = (out[5:9], out[9], out[10])
+    return flow_parts, view_parts
+
+
+def fused_draw(flow, view, p0_pix, p1_pix, vel, colors, live, params, time,
+               *, grid_hw, samples=2, interpret=None):
+    """Full fused draw: accumulate, widen the flow deposit to `flowWidth`,
+    resolve both blends. Returns (new_flow, new_view)."""
+    flow_parts, view_parts = fused_draw_accumulate(
+        grid_hw, p0_pix, p1_pix, vel, colors, live, params["speedLimit"],
+        time, samples=samples, interpret=interpret)
+
+    fnum, fwsum, flogt = flow_parts
+    width = jnp.maximum(params["flowWidth"], 1.0)
+    radius = (width - 1.0) * 0.5
+    stack = jnp.concatenate([fnum, fwsum[None], flogt[None]])
+    stack = _box_blur_traced(stack, radius) * width
+    new_flow = composite_over(flow, stack[0:4], stack[4], stack[5])
+
+    new_view = composite_over(view, *view_parts)
+    return new_flow, new_view

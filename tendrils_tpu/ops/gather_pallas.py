@@ -8,13 +8,14 @@ kernel walks sorted blocks, DMAs each touched tile's 16×256 region of the
 source grid into VMEM once, and evaluates all samples in that tile with one
 MXU matmul:
 
-    G[BK, C·16] = X[BK, 256] @ R[256, C·16]        (X: bilinear col weights,
-                                                    R: region, col-major)
-    out[c, k]   = Σ_r A[k, r] · G[k, 16c + r]      (A: bilinear row weights)
+    G^T[C·16, BK] = R[C·16, 256] @ X^T[256, BK]    (X: bilinear col weights)
+    out[c, k]     = Σ_r A[r, k] · G^T[16c + r, k]  (A: bilinear row weights)
 
-The source grid is pre-transposed once on the XLA side to `[WP, C·HP]` so
-the kernel needs no in-kernel transposes — each tile region is C plain 2D
-DMA slices.
+Sort bandwidth dominates, so only (key, x, y, slot) are sorted — corners and
+bilinear weights are derived in-kernel. The source grid is laid out
+`[C·HP, WP]` so every DMA slice is tile-aligned, and both matmul operands are
+built directly in natural MXU orientation (a transposed-rhs contraction costs
+~6× in per-visit relayouts).
 
 Results come back in sorted order with their originating slot; a second
 (slot-keyed) sort un-sorts them — still ~10× cheaper than an XLA
@@ -34,23 +35,26 @@ from .splat_pallas import (PAD_LO_H, PAD_LO_W, REGION_H, REGION_W, TILE_H,
 BLOCK = 2048
 
 
-def _kernel(key_ref, r0_ref, c0_ref, wx0_ref, wy0_ref, grid_ref, out_ref,
-            region, sems, *, tiles_x, n_chan, hp):
-    """One block of sorted sample points.
+def _kernel(key_ref, x_ref, y_ref, grid_ref, out_ref, region, sems, *,
+            tiles_x, n_chan, hp):
+    """One block of sorted sample points (padded-grid pixel coords).
 
-    grid: f32[n_chan*HP, WP] in HBM (padded source, channels stacked on
-    rows so every DMA slice is tile-aligned: 16-row sublane slices, 256-col
-    lane slices).
-    region scratch: f32[n_chan*REGION_H, REGION_W].
-    out:  f32[n_chan, BLOCK] gathered values (sorted order).
+    grid: f32[n_chan*HP, WP] in HBM (channels stacked on rows — every DMA
+    slice is tile-aligned). region scratch: f32[n_chan*REGION_H, REGION_W].
+    out: f32[n_chan, BLOCK] gathered values (sorted order).
     """
     t_hi = key_ref[BLOCK - 1]
-
     key = key_ref[:]
-    r0 = r0_ref[:]
-    c0 = c0_ref[:]
-    wx0 = wx0_ref[:]
-    wy0 = wy0_ref[:]
+
+    # Hoisted corner/weight derivation.
+    gx = x_ref[:] - 0.5
+    gy = y_ref[:] - 0.5
+    c0f = jnp.floor(gx)
+    r0f = jnp.floor(gy)
+    wx0 = 1.0 - (gx - c0f)
+    wy0 = 1.0 - (gy - r0f)
+    r0 = r0f.astype(jnp.int32)
+    c0 = c0f.astype(jnp.int32)
 
     out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -74,14 +78,12 @@ def _kernel(key_ref, r0_ref, c0_ref, wx0_ref, wy0_ref, grid_ref, out_ref,
         lr = r0 - row0
         lc = c0 - col0
 
-        # X^T[REGION_W, BLOCK]: bilinear column weights, built transposed so
-        # the matmul below is in natural (un-transposed) MXU orientation.
+        # X^T[REGION_W, BLOCK] / A^T[REGION_H, BLOCK], natural orientation.
         cols = jax.lax.broadcasted_iota(jnp.int32, (REGION_W, BLOCK), 0)
         xt = ((cols == lc[None, :]).astype(jnp.float32) * wx0[None, :]
               + (cols == (lc + 1)[None, :]).astype(jnp.float32)
               * (1.0 - wx0)[None, :])
 
-        # A^T[REGION_H, BLOCK]: bilinear row weights (masked to this tile).
         rows = jax.lax.broadcasted_iota(jnp.int32, (REGION_H, BLOCK), 0)
         at = ((rows == lr[None, :]).astype(jnp.float32) * wy0[None, :]
               + (rows == (lr + 1)[None, :]).astype(jnp.float32)
@@ -91,9 +93,7 @@ def _kernel(key_ref, r0_ref, c0_ref, wx0_ref, wy0_ref, grid_ref, out_ref,
         for dma in copies:
             dma.wait()
 
-        # G^T[n_chan*16, BLOCK] = R[n_chan*16, 256] @ X^T[256, BLOCK].
         gt = jnp.dot(region[:], xt, preferred_element_type=jnp.float32)
-        # out[c, k] = sum_r at[r, k] * gt[c*16 + r, k]
         for ch in range(n_chan):
             val = jnp.sum(at * gt[ch * REGION_H:(ch + 1) * REGION_H, :],
                           axis=0)
@@ -105,12 +105,14 @@ def _kernel(key_ref, r0_ref, c0_ref, wx0_ref, wy0_ref, grid_ref, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def bilinear_gather(grid, x, y, interpret=False):
+def bilinear_gather(grid, x, y, interpret=None):
     """Bilinearly sample `grid: f32[C, H, W]` at pixel coords `x`,`y: f32[M]`.
 
     Same contract as `sample.bilinear_sample` (CLAMP_TO_EDGE), returns
-    `f32[C, M]`.
+    `f32[C, M]`. `interpret=None` auto-selects interpreter mode off-TPU.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     c, h, w = grid.shape
     hp, wp = _pad_dims(h, w)
     tiles_x = wp // TILE_W
@@ -119,12 +121,12 @@ def bilinear_gather(grid, x, y, interpret=False):
     m_pad = (m + BLOCK - 1) // BLOCK * BLOCK
     pad = m_pad - m
     if pad:
-        x = jnp.pad(x, (0, pad), constant_values=w + 64.0)
-        y = jnp.pad(y, (0, pad), constant_values=h + 8.0)
+        x = jnp.pad(x, (0, pad), constant_values=w - 0.5)
+        y = jnp.pad(y, (0, pad), constant_values=h - 0.5)
 
-    # CLAMP_TO_EDGE: clamp the sample position into the texel-centre span.
-    xs = jnp.clip(x, 0.5, w - 0.5)
-    ys = jnp.clip(y, 0.5, h - 0.5)
+    # CLAMP_TO_EDGE, then padded-grid coords.
+    xs = jnp.clip(x, 0.5, w - 0.5) + PAD_LO_W
+    ys = jnp.clip(y, 0.5, h - 0.5) + PAD_LO_H
 
     # Padded source with channels stacked along rows: [C*HP, WP] — a free
     # reshape, and every kernel DMA slice is tile-aligned.
@@ -132,36 +134,19 @@ def bilinear_gather(grid, x, y, interpret=False):
                           (PAD_LO_W, wp - w - PAD_LO_W)))
     gpad_t = gpad.reshape(c * hp, wp)
 
-    gx = xs + PAD_LO_W - 0.5
-    gy = ys + PAD_LO_H - 0.5
-    c0 = jnp.floor(gx)
-    r0 = jnp.floor(gy)
-    wx0 = 1.0 - (gx - c0)
-    wy0 = 1.0 - (gy - r0)
-    r0i = r0.astype(jnp.int32)
-    c0i = c0.astype(jnp.int32)
-    key = (r0i // TILE_H) * tiles_x + (c0i // TILE_W)
+    key = ((jnp.floor(ys - 0.5).astype(jnp.int32) // TILE_H) * tiles_x
+           + (jnp.floor(xs - 0.5).astype(jnp.int32) // TILE_W))
 
     slot = jax.lax.iota(jnp.int32, m_pad)
-    key, r0i, c0i, wx0, wy0, slot = jax.lax.sort(
-        [key, r0i, c0i, wx0, wy0, slot], num_keys=1)
+    key, xs, ys, slot = jax.lax.sort([key, xs, ys, slot], num_keys=1)
 
+    blocked = pl.BlockSpec((BLOCK,), lambda b: (b,),
+                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_kernel, tiles_x=tiles_x, n_chan=c, hp=hp),
         grid=(m_pad // BLOCK,),
-        in_specs=[
-            pl.BlockSpec((BLOCK,), lambda b: (b,),
-                         memory_space=pltpu.VMEM),  # key
-            pl.BlockSpec((BLOCK,), lambda b: (b,),
-                         memory_space=pltpu.VMEM),  # r0
-            pl.BlockSpec((BLOCK,), lambda b: (b,),
-                         memory_space=pltpu.VMEM),  # c0
-            pl.BlockSpec((BLOCK,), lambda b: (b,),
-                         memory_space=pltpu.VMEM),  # wx0
-            pl.BlockSpec((BLOCK,), lambda b: (b,),
-                         memory_space=pltpu.VMEM),  # wy0
-            pl.BlockSpec(memory_space=pl.ANY),  # grid (HBM)
-        ],
+        in_specs=[blocked, blocked, blocked,
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((c, BLOCK), lambda b: (0, b),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, m_pad), jnp.float32),
@@ -172,7 +157,7 @@ def bilinear_gather(grid, x, y, interpret=False):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(key, r0i, c0i, wx0, wy0, gpad_t)
+    )(key, xs, ys, gpad_t)
 
     # Un-sort back to slot order (sort is far cheaper than TPU scatter).
     _, *vals = jax.lax.sort([slot] + [out[i] for i in range(c)], num_keys=1)

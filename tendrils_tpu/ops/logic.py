@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..const import INERT
 from . import flow as flow_ops
-from .noise import snoise3
+from .noise import snoise3_xyz
 
 
 def vary(base, offset, variance):
@@ -35,12 +35,12 @@ def wander_force(pos, uv, index01, params, time):
     noise_time = time * noise_speed
 
     # noise(vec3(noisePos, uv.x + noiseTime)), and the same with
-    # uv.y + noiseTime + 1234.5678 for the second component.
+    # uv.y + noiseTime + 1234.5678 for the second component. Component-wise
+    # so every intermediate is a flat [N] vector on TPU lanes.
     za = uv[0] + noise_time
     zb = uv[1] + noise_time + 1234.5678
-    pa = jnp.stack([noise_pos[0], noise_pos[1], za], axis=-1)
-    pb = jnp.stack([noise_pos[0], noise_pos[1], zb], axis=-1)
-    return jnp.stack([snoise3(pa), snoise3(pb)])
+    return jnp.stack([snoise3_xyz(noise_pos[0], noise_pos[1], za),
+                      snoise3_xyz(noise_pos[0], noise_pos[1], zb)])
 
 
 def step_particles(particles, flows, targets, params, uv, index01, view_size,

@@ -7,8 +7,13 @@ Ashima Arts / Stefan Gustavson `webgl-noise` algorithm), required from
 
 This module reimplements the same algorithm as pure `jnp` elementwise math so
 XLA fuses it straight into the particle-step kernel (it is transcendental-free
-— only floor/abs/mul — so it runs entirely on the VPU). Shapes are arbitrary:
-`snoise3` maps `f32[..., 3] -> f32[...]`.
+— only floor/abs/mul — so it runs entirely on the VPU).
+
+The core is component-wise (`snoise3_xyz` over separate x/y/z arrays): every
+intermediate keeps the input's shape with the big extent on vector lanes. The
+packed `snoise3(f32[..., 3])` wrapper exists for convenience/tests, but a
+size-3 minor axis would waste 125/128 of each VPU register row on TPU — use
+the component form in hot paths.
 """
 
 import jax.numpy as jnp
@@ -26,89 +31,105 @@ def _taylor_inv_sqrt(r):
     return 1.79284291400159 - 0.85373472095314 * r
 
 
-def snoise3(v):
-    """Simplex 3D noise of `v: f32[..., 3]` -> `f32[...]` in ~[-1, 1].
-
-    Same lattice/permutation/gradient scheme as the GLSL `snoise(vec3)` the
-    reference composes into its logic shader, so preset parameters (noise
-    scale/speed) produce comparable fields.
-    """
-    v = jnp.asarray(v, jnp.float32)
+def snoise3_xyz(vx, vy, vz):
+    """Simplex 3D noise over component arrays `f32[...]` -> `f32[...]`."""
+    vx = jnp.asarray(vx, jnp.float32)
+    vy = jnp.asarray(vy, jnp.float32)
+    vz = jnp.asarray(vz, jnp.float32)
     C_x = jnp.float32(1.0 / 6.0)
     C_y = jnp.float32(1.0 / 3.0)
 
     # First corner
-    i = jnp.floor(v + jnp.sum(v, axis=-1, keepdims=True) * C_y)
-    x0 = v - i + jnp.sum(i, axis=-1, keepdims=True) * C_x
+    s = (vx + vy + vz) * C_y
+    ix = jnp.floor(vx + s)
+    iy = jnp.floor(vy + s)
+    iz = jnp.floor(vz + s)
+    t = (ix + iy + iz) * C_x
+    x0x = vx - ix + t
+    x0y = vy - iy + t
+    x0z = vz - iz + t
 
-    # Other corners
-    g = (x0 >= x0[..., [1, 2, 0]]).astype(jnp.float32)
-    l = 1.0 - g
-    l_zxy = l[..., [2, 0, 1]]
-    i1 = jnp.minimum(g, l_zxy)
-    i2 = jnp.maximum(g, l_zxy)
+    # Other corners: g = step(x0.yzx, x0.xyz); l = 1 - g;
+    # i1 = min(g, l.zxy); i2 = max(g, l.zxy).
+    gx = (x0x >= x0y).astype(jnp.float32)
+    gy = (x0y >= x0z).astype(jnp.float32)
+    gz = (x0z >= x0x).astype(jnp.float32)
+    lx = 1.0 - gx
+    ly = 1.0 - gy
+    lz = 1.0 - gz
+    i1x = jnp.minimum(gx, lz)
+    i1y = jnp.minimum(gy, lx)
+    i1z = jnp.minimum(gz, ly)
+    i2x = jnp.maximum(gx, lz)
+    i2y = jnp.maximum(gy, lx)
+    i2z = jnp.maximum(gz, ly)
 
-    x1 = x0 - i1 + C_x
-    x2 = x0 - i2 + C_y
-    x3 = x0 - 0.5
+    x1x = x0x - i1x + C_x
+    x1y = x0y - i1y + C_x
+    x1z = x0z - i1z + C_x
+    x2x = x0x - i2x + C_y
+    x2y = x0y - i2y + C_y
+    x2z = x0z - i2z + C_y
+    x3x = x0x - 0.5
+    x3y = x0y - 0.5
+    x3z = x0z - 0.5
 
-    # Permutations
-    i = _mod289(i)
-    iz, iy, ix = i[..., 2:3], i[..., 1:2], i[..., 0:1]
-    z4 = jnp.stack(
-        [jnp.zeros_like(i1[..., 2]), i1[..., 2], i2[..., 2],
-         jnp.ones_like(i1[..., 2])], axis=-1)
-    y4 = jnp.stack(
-        [jnp.zeros_like(i1[..., 1]), i1[..., 1], i2[..., 1],
-         jnp.ones_like(i1[..., 1])], axis=-1)
-    x4 = jnp.stack(
-        [jnp.zeros_like(i1[..., 0]), i1[..., 0], i2[..., 0],
-         jnp.ones_like(i1[..., 0])], axis=-1)
-    p = _permute(_permute(_permute(iz + z4) + iy + y4) + ix + x4)
+    # Permutations (4 corners).
+    ix = _mod289(ix)
+    iy = _mod289(iy)
+    iz = _mod289(iz)
+
+    def corner_perm(az, ay, ax):
+        return _permute(_permute(_permute(iz + az) + iy + ay) + ix + ax)
+
+    p0 = corner_perm(0.0, 0.0, 0.0)
+    p1 = corner_perm(i1z, i1y, i1x)
+    p2 = corner_perm(i2z, i2y, i2x)
+    p3 = corner_perm(1.0, 1.0, 1.0)
 
     # Gradients: 7x7 points over a square, mapped onto an octahedron.
-    ns_x = jnp.float32(2.0 / 7.0)  # n_ * D.w  (n_ = 1/7, D.w = 2)
-    ns_y = jnp.float32(0.5 / 7.0 - 1.0)  # n_ * D.y - D.z
-    ns_z = jnp.float32(1.0 / 7.0)  # n_ * D.z - D.x
+    ns_x = jnp.float32(2.0 / 7.0)
+    ns_y = jnp.float32(0.5 / 7.0 - 1.0)
+    ns_z = jnp.float32(1.0 / 7.0)
 
-    j = p - 49.0 * jnp.floor(p * (ns_z * ns_z))
+    def gradient(p, xc, yc, zc):
+        j = p - 49.0 * jnp.floor(p * (ns_z * ns_z))
+        x_ = jnp.floor(j * ns_z)
+        y_ = jnp.floor(j - 7.0 * x_)
+        x = x_ * ns_x + ns_y
+        y = y_ * ns_x + ns_y
+        h = 1.0 - jnp.abs(x) - jnp.abs(y)
+        sx = jnp.floor(x) * 2.0 + 1.0
+        sy = jnp.floor(y) * 2.0 + 1.0
+        sh = -(h <= 0.0).astype(jnp.float32)
+        ax = x + sx * sh
+        ay = y + sy * sh
+        norm = _taylor_inv_sqrt(ax * ax + ay * ay + h * h)
+        gx = ax * norm
+        gy = ay * norm
+        gz = h * norm
+        return gx * xc + gy * yc + gz * zc
 
-    x_ = jnp.floor(j * ns_z)
-    y_ = jnp.floor(j - 7.0 * x_)
+    d0 = gradient(p0, x0x, x0y, x0z)
+    d1 = gradient(p1, x1x, x1y, x1z)
+    d2 = gradient(p2, x2x, x2y, x2z)
+    d3 = gradient(p3, x3x, x3y, x3z)
 
-    x = x_ * ns_x + ns_y
-    y = y_ * ns_x + ns_y
-    h = 1.0 - jnp.abs(x) - jnp.abs(y)
+    def falloff(xx, yy, zz):
+        m = jnp.maximum(0.6 - (xx * xx + yy * yy + zz * zz), 0.0)
+        m = m * m
+        return m * m
 
-    # b0 = (x.xy, y.xy), b1 = (x.zw, y.zw)
-    sx = jnp.floor(x) * 2.0 + 1.0
-    sy = jnp.floor(y) * 2.0 + 1.0
-    sh = -(h <= 0.0).astype(jnp.float32)
+    return 42.0 * (falloff(x0x, x0y, x0z) * d0
+                   + falloff(x1x, x1y, x1z) * d1
+                   + falloff(x2x, x2y, x2z) * d2
+                   + falloff(x3x, x3y, x3z) * d3)
 
-    a0x = x + sx * sh
-    a0y = y + sy * sh
 
-    p0 = jnp.stack([a0x[..., 0], a0y[..., 0], h[..., 0]], axis=-1)
-    p1 = jnp.stack([a0x[..., 1], a0y[..., 1], h[..., 1]], axis=-1)
-    p2 = jnp.stack([a0x[..., 2], a0y[..., 2], h[..., 2]], axis=-1)
-    p3 = jnp.stack([a0x[..., 3], a0y[..., 3], h[..., 3]], axis=-1)
+def snoise3(v):
+    """Simplex 3D noise of `v: f32[..., 3]` -> `f32[...]` in ~[-1, 1].
 
-    def dot3(a, b):
-        return jnp.sum(a * b, axis=-1)
-
-    norm = _taylor_inv_sqrt(
-        jnp.stack([dot3(p0, p0), dot3(p1, p1), dot3(p2, p2), dot3(p3, p3)],
-                  axis=-1))
-    p0 = p0 * norm[..., 0:1]
-    p1 = p1 * norm[..., 1:2]
-    p2 = p2 * norm[..., 2:3]
-    p3 = p3 * norm[..., 3:4]
-
-    m = jnp.maximum(
-        0.6 - jnp.stack([dot3(x0, x0), dot3(x1, x1), dot3(x2, x2),
-                         dot3(x3, x3)], axis=-1),
-        0.0)
-    m = m * m
-    grads = jnp.stack([dot3(p0, x0), dot3(p1, x1), dot3(p2, x2), dot3(p3, x3)],
-                      axis=-1)
-    return 42.0 * jnp.sum(m * m * grads, axis=-1)
+    Packed-vector convenience wrapper over `snoise3_xyz`.
+    """
+    v = jnp.asarray(v, jnp.float32)
+    return snoise3_xyz(v[..., 0], v[..., 1], v[..., 2])

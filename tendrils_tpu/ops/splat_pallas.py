@@ -122,8 +122,12 @@ def _kernel(key_ref, r0_ref, c0_ref, av_ref, wx0_ref, accum_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("grid_hw", "interpret"))
-def splat_accumulate(grid_hw, x, y, values, alpha, interpret=False):
-    """Drop-in replacement for `splat.splat_accumulate_xla` (same contract)."""
+def splat_accumulate(grid_hw, x, y, values, alpha, interpret=None):
+    """Drop-in replacement for `splat.splat_accumulate_xla` (same contract).
+
+    `interpret=None` auto-selects interpreter mode off-TPU (CPU tests)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     h, w = grid_hw
     hp, wp = _pad_dims(h, w)
     tiles_x = wp // TILE_W
