@@ -64,6 +64,18 @@ def ball(particles, frag_xy, radius, speed):
     return jnp.concatenate([pos, vel])
 
 
+def ball_random(particles, key, radius=1.0, speed=0.01):
+    """CPU-twin ball spawn with a fresh random stream each call — ref
+    `src/spawn/ball/cpu.js` (`Math.random` rather than the coordinate hash,
+    so successive respawns differ)."""
+    import jax
+    n = particles.shape[1]
+    r = jax.random.uniform(key, (4, n))
+    pos = angle_to_vec(r[0] * TAU).T * (r[1] * radius)
+    vel = angle_to_vec(r[2] * TAU).T * (r[3] * speed)
+    return jnp.concatenate([pos, vel])
+
+
 # --- Pixel spawners -------------------------------------------------------
 
 def spawn_to_pos(uv, spawn_matrix, spawn_size, jitter, time, seed_uv=None):
@@ -147,6 +159,12 @@ def test_particles(data):
 def test_brightest(data):
     """Ref `src/spawn/pixels/test/brightest.glsl`."""
     return luma(data)
+
+
+def test_simple(data):
+    """Score encoded in the x channel — ref `src/spawn/pixels/test/simple.glsl`
+    (whose body reads `current.x`; the intended semantics)."""
+    return data[0]
 
 
 def luma(pixel):
