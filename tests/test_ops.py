@@ -229,3 +229,30 @@ class TestSpawn:
         assert arr[int(0.6 * 32), int(0.6 * 32)] == 1.0
         # Clearly outside (clip (-0.5, -0.5)).
         assert arr[int(0.25 * 32), int(0.25 * 32)] == 0.0
+
+
+class TestFlowPyramid:
+    def test_multi_level_sampling(self):
+        # flow_levels > 1 builds a mean-pooled LOD pyramid and the sampler
+        # weights levels 1/(l+1) — ref flow-at-screen-pos.glsl (the
+        # reference's intended-but-disabled mipmap path, index.js:305-312).
+        import jax.numpy as jnp
+        from tendrils_tpu.engine import flow_pyramid
+        g = jnp.zeros((4, 8, 8)).at[0, 0:2, 0:2].set(4.0)
+        levels = flow_pyramid(g, 3)
+        assert [l.shape for l in levels] == [(4, 8, 8), (4, 4, 4),
+                                             (4, 2, 2)]
+        assert float(levels[1][0, 0, 0]) == 4.0  # 2x2 pool of the block
+        assert float(levels[2][0, 0, 0]) == 1.0  # next pool dilutes 4/16
+
+    def test_engine_runs_with_levels(self):
+        from tendrils_tpu import EngineConfig, Tendrils
+        from tendrils_tpu.ops import spawn as sp
+        eng = Tendrils(EngineConfig(root_num=16, view_res=(32, 64),
+                                    flow_levels=2, flow_samples=2,
+                                    flow_rows=1, view_samples=2))
+        eng.setup()
+        eng.spawn_shader(lambda p, e: sp.ball(p, e._frag_xy, 0.5, 0.01))
+        for _ in range(3):
+            eng.frame()
+        assert np.isfinite(np.asarray(eng.sim.particles)).all()
