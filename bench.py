@@ -35,7 +35,8 @@ def main():
         root_num=root, view_res=(1080, 1920),
         splat_backend="pallas" if on_tpu else "xla",
         gather_backend="pallas" if on_tpu else "xla",
-        flow_samples=2, flow_rows=1, view_samples=2)
+        flow_samples=2, flow_rows=1, view_samples=2,
+        resident_sort=0)
 
     eng = Tendrils(cfg)
     eng.setup()
@@ -45,9 +46,8 @@ def main():
     dt = 1000.0 / 60.0
 
     fn = jax.jit(
-        lambda sim, t0: run_headless(sim, params, cfg, eng._uv, eng._index01,
-                                     eng._view_size, eng._colormap_uv, t0, dt,
-                                     steps),
+        lambda sim, t0: run_headless(sim, params, cfg, eng._view_size, t0,
+                                     dt, steps),
         donate_argnums=(0,))
 
     sim = fn(eng.sim, jnp.float32(0.0))

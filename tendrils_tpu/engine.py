@@ -57,6 +57,12 @@ class EngineConfig:
     # single-device, flow_res == view_res). Line widths become post-hoc
     # blurs of the accumulation (see ops/draw_pallas.py).
     fused_draw: bool = True
+    # Keep particles resident in approximately tile-sorted order, resorting
+    # every N frames (0 = off). The Pallas splat/gather kernels only need
+    # spatially *clustered* blocks, not sorted ones — so the per-frame sample
+    # sorts are skipped entirely and the full state reorder is amortised
+    # over N frames. Single-device pallas path only.
+    resident_sort: int = 0
 
     @property
     def n(self) -> int:
@@ -100,19 +106,55 @@ def _gather_fn(cfg: EngineConfig):
         return None  # flow_at_screen_pos default (XLA bilinear gather)
     if cfg.gather_backend == "pallas":
         from .ops.gather_pallas import bilinear_gather
+        clustered = cfg.resident_sort > 0
 
         def sample_fn(grid, uv):
             _, h, w = grid.shape
-            return bilinear_gather(grid, uv[..., 0] * w, uv[..., 1] * h)
+            return bilinear_gather(grid, uv[..., 0] * w, uv[..., 1] * h,
+                                   clustered=clustered)
 
         return sample_fn
     raise ValueError(f"unknown gather backend: {cfg.gather_backend}")
 
 
+def resort_sim(sim: state_mod.SimState, cfg: EngineConfig, view_size):
+    """Reorder the particle rows by flow-grid tile of their position.
+
+    Keeps blocks of consecutive rows spatially clustered so the Pallas
+    kernels' distinct-tile loops stay short without per-frame sorting.
+    Carries the full per-particle state (current, previous, targets, idx) —
+    lossless, deterministic."""
+    from .ops import tile_geom as dp
+    fh, fw = cfg.flow_shape
+    hp, wp = dp.pad_dims(fh, fw)
+    pos = sim.particles[:2]
+    # Exactly the fused kernel's padded tile key, so freshly-resorted blocks
+    # bin like fully-sorted samples.
+    x = jnp.clip((pos[0] * view_size[0] * 0.5 + 0.5) * fw + dp.PAD_LO_W,
+                 1.0, dp.PAD_LO_W + fw + 1.0)
+    y = jnp.clip((pos[1] * view_size[1] * 0.5 + 0.5) * fh + dp.PAD_LO_H,
+                 1.0, dp.PAD_LO_H + fh + 1.0)
+    key = ((jnp.floor(y - 0.5).astype(jnp.int32) // dp.TILE_H)
+           * (wp // dp.TILE_W)
+           + (jnp.floor(x - 0.5).astype(jnp.int32) // dp.TILE_W))
+    ops = jax.lax.sort(
+        [key] + [sim.particles[i] for i in range(4)]
+        + [sim.previous[i] for i in range(4)]
+        + [sim.targets[i] for i in range(4)] + [sim.idx], num_keys=1)
+    return dataclasses.replace(
+        sim,
+        particles=jnp.stack(ops[1:5]),
+        previous=jnp.stack(ops[5:9]),
+        targets=jnp.stack(ops[9:13]),
+        idx=ops[13])
+
+
 def step_sim(sim: state_mod.SimState, params, time, dt, cfg: EngineConfig,
-             uv, index01, view_size):
+             view_size):
     """Logic step + ping-pong — ref `src/index.js:248-272` +
     `src/particles.js:123-145`."""
+    uv, index01, _ = state_mod.particle_coords_from_idx(sim.idx,
+                                                        cfg.root_num)
     flows = flow_pyramid(sim.flow, cfg.flow_levels)
     new_particles = logic.step_particles(
         sim.particles, flows, sim.targets, params, uv, index01, view_size,
@@ -122,7 +164,7 @@ def step_sim(sim: state_mod.SimState, params, time, dt, cfg: EngineConfig,
 
 
 def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
-             colormap_uv, view_size, axis_name=None):
+             view_size, axis_name=None):
     """Flow + view render passes — ref `src/index.js:278-340`.
 
     With `axis_name` set (data-parallel shard_map over particles), the splat
@@ -132,6 +174,8 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
     pos = sim.particles[:2]
     vel = sim.particles[2:]
     prev_pos = sim.previous[:2]
+    _, _, colormap_uv = state_mod.particle_coords_from_idx(sim.idx,
+                                                           cfg.root_num)
 
     alive = ((pos[0] != INERT) | (pos[1] != INERT)) & \
             ((prev_pos[0] != INERT) | (prev_pos[1] != INERT))
@@ -164,7 +208,8 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
                                  * params["autoFade"])
         new_flow, view0 = fused_draw(
             sim.flow, view0, p0, p1, vel, colors, live, params, time,
-            grid_hw=(h, w), samples=cfg.view_samples)
+            grid_hw=(h, w), samples=cfg.view_samples,
+            presort=(cfg.resident_sort == 0))
         return dataclasses.replace(sim, flow=new_flow,
                                    view=sim.view.at[0].set(view0))
 
@@ -229,20 +274,36 @@ class Tendrils:
 
     def _setup_static(self):
         cfg = self.config
-        self._uv = state_mod.particle_uv(cfg.root_num)
-        self._index01 = state_mod.particle_index01(cfg.root_num)
-        self._frag_xy = self._uv * cfg.root_num  # texel-centre frag coords
         h, w = cfg.view_res
         self._view_size = jnp.asarray(coords.cover_aspect((w, h)),
                                       jnp.float32)
-        # Colour-map UV per particle: the draw geometry's
-        # `uv * geomRes / dataRes` (`src/render/index.vert:65`; geomShape is
-        # [W, 2H], `src/index.js:195-198`), clamped like GL CLAMP_TO_EDGE.
-        r = cfg.root_num
-        idx = np.arange(cfg.n)
-        ix = (idx % r) / max(r - 1, 1)
-        iy = np.minimum((idx // r) * 2.0 / max(2 * r - 1, 1) * 2.0, 1.0)
-        self._colormap_uv = jnp.asarray(np.stack([ix, iy]), jnp.float32)
+        self._frame_idx = 0
+
+    # Per-particle constants derive from the (possibly resident-sorted) row
+    # permutation `sim.idx` — see `state.particle_coords_from_idx`.
+    @property
+    def _uv(self):
+        return state_mod.particle_coords_from_idx(
+            self.sim.idx, self.config.root_num)[0]
+
+    @property
+    def _index01(self):
+        return state_mod.particle_coords_from_idx(
+            self.sim.idx, self.config.root_num)[1]
+
+    @property
+    def _colormap_uv(self):
+        return state_mod.particle_coords_from_idx(
+            self.sim.idx, self.config.root_num)[2]
+
+    @property
+    def _frag_xy(self):
+        return self._uv * self.config.root_num  # texel-centre frag coords
+
+    def _maybe_resort(self):
+        k = self.config.resident_sort
+        if k > 0 and self._frame_idx % k == 0:
+            self.sim = _resort_jit(self.sim, self.config, self._view_size)
 
     def setup(self, root_num: int | None = None):
         """(Re)allocate particle + grid state — ref `src/index.js:149-154`."""
@@ -297,17 +358,19 @@ class Tendrils:
     def step(self):
         """Ref `src/index.js:248-272` (honours timer pause)."""
         if not self.timer.paused:
+            self._maybe_resort()
+            self._frame_idx += 1
             self.sim = _step_jit(self.sim, self.params(),
                                  jnp.float32(self.timer.time),
                                  jnp.float32(self.timer.dt), self.config,
-                                 self._uv, self._index01, self._view_size)
+                                 self._view_size)
         return self
 
     def draw(self):
         """Ref `src/index.js:278-340`."""
         self.sim = _draw_jit(self.sim, self.params(),
                              jnp.float32(self.timer.time), self.config,
-                             self._colormap_uv, self._view_size)
+                             self._view_size)
         return self
 
     def frame(self):
@@ -315,11 +378,12 @@ class Tendrils:
         self.timer.tick()
         if self.timer.paused:
             return self.draw()
+        self._maybe_resort()
+        self._frame_idx += 1
         self.sim = _frame_jit(self.sim, self.params(),
                               jnp.float32(self.timer.time),
                               jnp.float32(self.timer.dt), self.config,
-                              self._uv, self._index01, self._view_size,
-                              self._colormap_uv)
+                              self._view_size)
         return self
 
     # -- spawning
@@ -447,34 +511,43 @@ class Tendrils:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def _step_jit(sim, params, time, dt, cfg, uv, index01, view_size):
-    return step_sim(sim, params, time, dt, cfg, uv, index01, view_size)
+def _step_jit(sim, params, time, dt, cfg, view_size):
+    return step_sim(sim, params, time, dt, cfg, view_size)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def _draw_jit(sim, params, time, cfg, colormap_uv, view_size):
-    return draw_sim(sim, params, time, cfg, colormap_uv, view_size)
+def _draw_jit(sim, params, time, cfg, view_size):
+    return draw_sim(sim, params, time, cfg, view_size)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def _frame_jit(sim, params, time, dt, cfg, uv, index01, view_size,
-               colormap_uv):
-    sim = step_sim(sim, params, time, dt, cfg, uv, index01, view_size)
-    return draw_sim(sim, params, time, cfg, colormap_uv, view_size)
+def _resort_jit(sim, cfg, view_size):
+    return resort_sim(sim, cfg, view_size)
 
 
-def run_headless(sim, params, cfg: EngineConfig, uv, index01, view_size,
-                 colormap_uv, t0, dt, steps):
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def _frame_jit(sim, params, time, dt, cfg, view_size):
+    sim = step_sim(sim, params, time, dt, cfg, view_size)
+    return draw_sim(sim, params, time, cfg, view_size)
+
+
+def run_headless(sim, params, cfg: EngineConfig, view_size, t0, dt, steps):
     """Fixed-step headless run under `lax.scan` (SURVEY §7 pillar 2).
 
     Buffers are threaded through the scan carry (double-buffering by
-    functional update); returns the final state.
+    functional update); resident resorting (if configured) runs via
+    `lax.cond` on the frame counter. Returns the final state.
     """
+    k = cfg.resident_sort
 
     def body(sim, i):
+        if k > 0:
+            sim = jax.lax.cond(jnp.mod(i.astype(jnp.int32), k) == 0,
+                               lambda s: resort_sim(s, cfg, view_size),
+                               lambda s: s, sim)
         time = t0 + dt * (i + 1)
-        sim = step_sim(sim, params, time, dt, cfg, uv, index01, view_size)
-        sim = draw_sim(sim, params, time, cfg, colormap_uv, view_size)
+        sim = step_sim(sim, params, time, dt, cfg, view_size)
+        sim = draw_sim(sim, params, time, cfg, view_size)
         return sim, ()
 
     sim, _ = jax.lax.scan(body, sim, jnp.arange(steps, dtype=jnp.float32))

@@ -29,10 +29,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .splat import composite_over
-from .splat_pallas import (PAD_LO_H, PAD_LO_W, REGION_H, REGION_W, TILE_H,
-                           TILE_W, _pad_dims)
+from .tile_geom import (PAD_LO_H, PAD_LO_W, REGION_H, REGION_W, TILE_H,
+                        TILE_W, pad_dims as _pad_dims)
 
-BLOCK = 2048
+# 16x256-px content tiles (tile_geom): 4x fewer tile visits than the generic
+# backend's 8x128, and the bf16 MXU eats the 2.25x-bigger matmul. Block of
+# 4096 samples halves block-boundary revisits.
+BLOCK = 4096
 # Accumulated channels: flow (vx·α, vy·α, wf·α, α, log(1-α)) + view
 # (r·α, g·α, b·α, a·α, α, log(1-α)). The flow stamp channel is derived at
 # resolve time (stamp ≡ current time for every sample ⇒ num_stamp =
@@ -71,7 +74,7 @@ def _kernel(scal_ref, key_ref, pos_ref, vel_ref, rg_ref, ba_ref, as_ref,
     speed_limit = scal_ref[0, 0]
 
     key = key_ref[:]
-    t_hi = key_ref[BLOCK - 1]
+    t_hi = jnp.max(key)  # works sorted or merely clustered
 
     # Hoisted per-block unpack + derivations (VPU, once per 2048 samples).
     pos = pos_ref[:]
@@ -155,7 +158,7 @@ def _kernel(scal_ref, key_ref, pos_ref, vel_ref, rg_ref, ba_ref, as_ref,
 
         return jnp.min(jnp.where(key > t, key, jnp.int32(2 ** 30)))
 
-    jax.lax.while_loop(lambda t: t <= t_hi, tile_step, key_ref[0])
+    jax.lax.while_loop(lambda t: t <= t_hi, tile_step, jnp.min(key))
 
 
 MAX_BLUR = 32  # static bound for the traced-radius blur
@@ -241,9 +244,10 @@ def _prep_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("grid_hw", "samples",
-                                             "interpret"))
+                                             "interpret", "presort"))
 def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, colors, live,
-                          speed_limit, time, *, samples=2, interpret=None):
+                          speed_limit, time, *, samples=2, interpret=None,
+                          presort=True):
     """Accumulate both passes' splats.
 
     `p0_pix`/`p1_pix`: `f32[N, 2]` segment endpoints (window px of the shared
@@ -292,8 +296,12 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, colors, live,
     )(scal, p0_pix[:, 0], p0_pix[:, 1], p1_pix[:, 0], p1_pix[:, 1],
       vel[0], vel[1], colors[0], colors[1], colors[2], colors[3], live)
 
-    key, pos_u, vel_u, rg_u, ba_u, ascale = jax.lax.sort(
-        [key, pos_u, vel_u, rg_u, ba_u, ascale], num_keys=1)
+    # With resident-sorted particles the prep output is already spatially
+    # clustered per block — the kernel's distinct-tile loop handles any
+    # order, so the sample sort is skipped entirely.
+    if presort:
+        key, pos_u, vel_u, rg_u, ba_u, ascale = jax.lax.sort(
+            [key, pos_u, vel_u, rg_u, ba_u, ascale], num_keys=1)
 
     accum0 = jnp.zeros((N_CHAN, hp, wp), jnp.float32)
 
@@ -329,12 +337,12 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, colors, live,
 
 
 def fused_draw(flow, view, p0_pix, p1_pix, vel, colors, live, params, time,
-               *, grid_hw, samples=2, interpret=None):
+               *, grid_hw, samples=2, interpret=None, presort=True):
     """Full fused draw: accumulate, widen the flow deposit to `flowWidth`,
     resolve both blends. Returns (new_flow, new_view)."""
     flow_parts, view_parts = fused_draw_accumulate(
         grid_hw, p0_pix, p1_pix, vel, colors, live, params["speedLimit"],
-        time, samples=samples, interpret=interpret)
+        time, samples=samples, interpret=interpret, presort=presort)
 
     fnum, fwsum, flogt = flow_parts
     width = jnp.maximum(params["flowWidth"], 1.0)

@@ -29,10 +29,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .splat_pallas import (PAD_LO_H, PAD_LO_W, REGION_H, REGION_W, TILE_H,
-                           TILE_W, _pad_dims)
+from .tile_geom import (PAD_LO_H, PAD_LO_W, REGION_H, REGION_W, TILE_H,
+                        TILE_W, pad_dims as _pad_dims)
 
-BLOCK = 2048
+BLOCK = 4096
 
 
 def _kernel(key_ref, x_ref, y_ref, grid_ref, out_ref, region, sems, *,
@@ -43,8 +43,8 @@ def _kernel(key_ref, x_ref, y_ref, grid_ref, out_ref, region, sems, *,
     slice is tile-aligned). region scratch: f32[n_chan*REGION_H, REGION_W].
     out: f32[n_chan, BLOCK] gathered values (sorted order).
     """
-    t_hi = key_ref[BLOCK - 1]
     key = key_ref[:]
+    t_hi = jnp.max(key)  # works sorted or merely clustered
 
     # Hoisted corner/weight derivation.
     gx = x_ref[:] - 0.5
@@ -101,15 +101,18 @@ def _kernel(key_ref, x_ref, y_ref, grid_ref, out_ref, region, sems, *,
 
         return jnp.min(jnp.where(key > t, key, jnp.int32(2 ** 30)))
 
-    jax.lax.while_loop(lambda t: t <= t_hi, tile_step, key_ref[0])
+    jax.lax.while_loop(lambda t: t <= t_hi, tile_step, jnp.min(key))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def bilinear_gather(grid, x, y, interpret=None):
+@functools.partial(jax.jit, static_argnames=("interpret", "clustered"))
+def bilinear_gather(grid, x, y, interpret=None, clustered=False):
     """Bilinearly sample `grid: f32[C, H, W]` at pixel coords `x`,`y: f32[M]`.
 
     Same contract as `sample.bilinear_sample` (CLAMP_TO_EDGE), returns
     `f32[C, M]`. `interpret=None` auto-selects interpreter mode off-TPU.
+    With `clustered=True` the caller guarantees consecutive samples are
+    already spatially clustered (resident-sorted particles): the sort and
+    the slot-keyed un-sort are skipped and results return in input order.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -137,8 +140,9 @@ def bilinear_gather(grid, x, y, interpret=None):
     key = ((jnp.floor(ys - 0.5).astype(jnp.int32) // TILE_H) * tiles_x
            + (jnp.floor(xs - 0.5).astype(jnp.int32) // TILE_W))
 
-    slot = jax.lax.iota(jnp.int32, m_pad)
-    key, xs, ys, slot = jax.lax.sort([key, xs, ys, slot], num_keys=1)
+    if not clustered:
+        slot = jax.lax.iota(jnp.int32, m_pad)
+        key, xs, ys, slot = jax.lax.sort([key, xs, ys, slot], num_keys=1)
 
     blocked = pl.BlockSpec((BLOCK,), lambda b: (b,),
                            memory_space=pltpu.VMEM)
@@ -159,6 +163,8 @@ def bilinear_gather(grid, x, y, interpret=None):
         interpret=interpret,
     )(key, xs, ys, gpad_t)
 
+    if clustered:
+        return out[:, :m]
     # Un-sort back to slot order (sort is far cheaper than TPU scatter).
     _, *vals = jax.lax.sort([slot] + [out[i] for i in range(c)], num_keys=1)
     return jnp.stack(vals)[:, :m]

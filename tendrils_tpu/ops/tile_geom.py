@@ -1,0 +1,23 @@
+"""Shared tile geometry for the clustered Pallas kernels (fused draw +
+gather): 16x256-px content tiles, 24x384 RMW/DMA regions (the +1 bilinear
+halo fits), padded grids so no edge cases. The generic `splat_pallas` backend
+keeps its own smaller 8x128 geometry (better for arbitrary payload channel
+counts at small grids).
+
+The engine's resident resort (`engine.resort_sim`) orders particles by
+exactly this key so freshly-resorted blocks bin like fully-sorted samples in
+BOTH kernels.
+"""
+
+TILE_H = 16
+TILE_W = 256
+REGION_H = 24
+REGION_W = 384
+PAD_LO_H, PAD_LO_W = TILE_H, TILE_W
+PAD_HI_H, PAD_HI_W = REGION_H, REGION_W
+
+
+def pad_dims(h, w):
+    hp = (PAD_LO_H + h + PAD_HI_H + TILE_H - 1) // TILE_H * TILE_H
+    wp = (PAD_LO_W + w + PAD_HI_W + TILE_W - 1) // TILE_W * TILE_W
+    return hp, wp

@@ -39,6 +39,7 @@ def _sim_specs():
         view=P(),
         color_map=P(),
         key=P(),
+        idx=P(AXIS),
     )
 
 
@@ -56,29 +57,28 @@ def shard_sim(sim: state_mod.SimState, mesh: Mesh) -> state_mod.SimState:
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "mesh"),
                    donate_argnums=(0,))
-def parallel_frame(sim, params, time, dt, cfg: EngineConfig, uv, index01,
-                   view_size, colormap_uv, mesh: Mesh):
+def parallel_frame(sim, params, time, dt, cfg: EngineConfig, view_size,
+                   mesh: Mesh):
     """One full step+draw frame, shard_map'd over the particle axis.
 
     Grids stay replicated; each shard computes its particles' splat partial
     sums which are `psum`'d before the blend resolve (see
-    `engine.draw_sim(axis_name=...)`).
+    `engine.draw_sim(axis_name=...)`). Per-particle constants derive from
+    the sharded `sim.idx`.
     """
     sim_specs = _sim_specs()
 
-    def body(sim, params, time, dt, uv, index01, view_size, colormap_uv):
-        sim = step_sim(sim, params, time, dt, cfg, uv, index01, view_size)
-        sim = draw_sim(sim, params, time, cfg, colormap_uv, view_size,
-                       axis_name=AXIS)
+    def body(sim, params, time, dt, view_size):
+        sim = step_sim(sim, params, time, dt, cfg, view_size)
+        sim = draw_sim(sim, params, time, cfg, view_size, axis_name=AXIS)
         return sim
 
     fn = shard_map(
         body, mesh=mesh,
-        in_specs=(sim_specs, P(), P(), P(), P(None, AXIS), P(AXIS), P(),
-                  P(None, AXIS)),
+        in_specs=(sim_specs, P(), P(), P(), P()),
         out_specs=sim_specs,
         check_vma=False)
-    return fn(sim, params, time, dt, uv, index01, view_size, colormap_uv)
+    return fn(sim, params, time, dt, view_size)
 
 
 class ParallelTendrils:
@@ -105,6 +105,5 @@ class ParallelTendrils:
         eng.sim = parallel_frame(
             eng.sim, eng.params(),
             jax.numpy.float32(eng.timer.time), jax.numpy.float32(eng.timer.dt),
-            eng.config, eng._uv, eng._index01, eng._view_size,
-            eng._colormap_uv, self.mesh)
+            eng.config, eng._view_size, self.mesh)
         return self

@@ -100,6 +100,13 @@ class SimState:
       view:      `f32[B, 4, H, W]` view/trail buffers — `src/index.js:109`
       color_map: `f32[4, ch, cw]` colour map — `src/index.js:94-96`
       key:       threefry key for stochastic ops (spawns)
+      idx:       `i32[N]` original particle index per row. The engine keeps
+                 particles *resident in approximately tile-sorted order*
+                 (resorted every `resident_sort` frames) so the Pallas
+                 splat/gather kernels see spatially clustered blocks without
+                 any per-frame sort; per-particle constants (uv, variance
+                 index, colour-map uv) are recomputed from `idx`. Identity
+                 permutation when resident sorting is off.
     """
     particles: jax.Array
     previous: jax.Array
@@ -108,6 +115,7 @@ class SimState:
     view: jax.Array
     color_map: jax.Array
     key: jax.Array
+    idx: jax.Array
 
 
 def make_state(root_num: int = 512, view_res=(720, 1280), num_view_buffers=1,
@@ -136,7 +144,27 @@ def make_state(root_num: int = 512, view_res=(720, 1280), num_view_buffers=1,
         view=jnp.zeros((num_view_buffers, 4, h, w), jnp.float32),
         color_map=jnp.zeros((4, ch, cw), jnp.float32),
         key=jax.random.PRNGKey(seed),
+        idx=jnp.arange(n, dtype=jnp.int32),
     )
+
+
+def particle_coords_from_idx(idx, root_num):
+    """Per-particle constants from original indices (traced).
+
+    Returns (uv `f32[2, N]`, index01 `f32[N]`, colormap_uv `f32[2, N]`) —
+    the traced twins of `particle_uv`/`particle_index01` and the engine's
+    colour-map UV, so resident-sorted rows keep their identity.
+    """
+    r = root_num
+    idx = idx.astype(jnp.float32)
+    ix = jnp.mod(idx, r)
+    iy = jnp.floor(idx / r)
+    uv = jnp.stack([(ix + 0.5) / r, (iy + 0.5) / r])
+    index01 = ((ix + 0.5) + (iy + 0.5) * r) / (r * r)
+    cm_x = ix / max(r - 1, 1)
+    cm_y = jnp.minimum(iy * 2.0 / max(2 * r - 1, 1) * 2.0, 1.0)
+    colormap_uv = jnp.stack([cm_x, cm_y])
+    return uv, index01, colormap_uv
 
 
 def particle_uv(root_num: int) -> jax.Array:

@@ -36,9 +36,9 @@ def test_fused_matches_generic_paths():
         eng = make_engine(fused, backend)
         params = eng.params()
         sim = step_sim(eng.sim, params, jnp.float32(16.0), jnp.float32(16.0),
-                       eng.config, eng._uv, eng._index01, eng._view_size)
+                       eng.config, eng._view_size)
         sim = draw_sim(sim, params, jnp.float32(16.0), eng.config,
-                       eng._colormap_uv, eng._view_size)
+                       eng._view_size)
         outs[name] = (np.asarray(sim.flow), np.asarray(sim.view))
 
     # The fused kernel quantises positions (1/32 px here) and values (15-bit

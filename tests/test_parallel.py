@@ -38,15 +38,13 @@ def test_parallel_frame_matches_single(engine):
     t, dt = jnp.float32(16.0), jnp.float32(16.0)
 
     # Single-device reference.
-    ref = step_sim(eng.sim, params, t, dt, eng.config, eng._uv, eng._index01,
-                   eng._view_size)
-    ref = draw_sim(ref, params, t, eng.config, eng._colormap_uv,
-                   eng._view_size)
+    ref = step_sim(eng.sim, params, t, dt, eng.config, eng._view_size)
+    ref = draw_sim(ref, params, t, eng.config, eng._view_size)
 
     mesh = make_mesh()
     sim_sharded = shard_sim(eng.sim, mesh)
-    out = parallel_frame(sim_sharded, params, t, dt, eng.config, eng._uv,
-                         eng._index01, eng._view_size, eng._colormap_uv, mesh)
+    out = parallel_frame(sim_sharded, params, t, dt, eng.config,
+                         eng._view_size, mesh)
 
     np.testing.assert_allclose(np.asarray(out.particles),
                                np.asarray(ref.particles), rtol=1e-4,
@@ -65,8 +63,7 @@ def test_parallel_multi_step_stable(engine):
     for i in range(3):
         t = jnp.float32(16.0 * (i + 1))
         sim = parallel_frame(sim, params, t, jnp.float32(16.0), eng.config,
-                             eng._uv, eng._index01, eng._view_size,
-                             eng._colormap_uv, mesh)
+                             eng._view_size, mesh)
     p = np.asarray(sim.particles)
     assert np.isfinite(p).all()
     speed = np.sqrt(p[2] ** 2 + p[3] ** 2)
