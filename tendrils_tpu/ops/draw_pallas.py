@@ -187,59 +187,93 @@ def _box_blur_traced(img, radius):
     return blur_axis(blur_axis(img, 1), 2)
 
 
-def _prep_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
+def _pack_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
                  vy_ref, cr_ref, cg_ref, cb_ref, ca_ref, live_ref,
-                 key_ref, pos_ref, vel_ref, rg_ref, ba_ref, as_ref, *,
-                 samples, tiles_x, pscale, h, w):
-    """Segment expansion + quantised packing, one Pallas pass (the XLA
-    version of this prep is ~30 kernels × the environment's per-launch
-    overhead). Each grid block maps SEG segments -> SEG*samples samples,
-    ordered sample-major ([all s=0 | all s=1 | ...]) — order is irrelevant,
-    the sort follows."""
+                 keym_ref, p0_ref, p1_ref, vl_ref, rg_ref, ba_ref, *,
+                 tiles_x, pscale, h, w):
+    """Pack per-segment attributes into 15-bit pairs + the midpoint tile key
+    (one Pallas pass; sorting then moves 6 int32 streams instead of 10 f32).
+
+    Endpoints are clamped into the padded margin before quantisation — a
+    particle >1px off-grid has its segment geometry clamped (its samples
+    would not deposit on-grid anyway); the live flag rides bit 30 of the
+    velocity word."""
     sl = jnp.maximum(scal_ref[0, 0], 1e-12)
 
-    p0x = p0x_ref[:]
-    p0y = p0y_ref[:]
-    dx = p1x_ref[:] - p0x
-    dy = p1y_ref[:] - p0y
-    length = jnp.sqrt(dx * dx + dy * dy)
-    ascale_seg = live_ref[:] * jnp.maximum(length, 1.0) / samples
+    def qpos(x, y):
+        xp = jnp.clip(x + PAD_LO_W, 1.0, PAD_LO_W + w + 1.0)
+        yp = jnp.clip(y + PAD_LO_H, 1.0, PAD_LO_H + h + 1.0)
+        return (jnp.round(xp * pscale).astype(jnp.int32),
+                jnp.round(yp * pscale).astype(jnp.int32))
+
+    x0q, y0q = qpos(p0x_ref[:], p0y_ref[:])
+    x1q, y1q = qpos(p1x_ref[:], p1y_ref[:])
+    p0_ref[:] = y0q * (HALF + 1) + x0q
+    p1_ref[:] = y1q * (HALF + 1) + x1q
 
     def q15(v, lo, hi):
         t = jnp.clip((v - lo) / (hi - lo), 0.0, 1.0)
         return jnp.round(t * HALF).astype(jnp.int32)
 
-    vel_u_seg = q15(vy_ref[:] / sl, -1.0, 1.0) * (HALF + 1) + q15(
-        vx_ref[:] / sl, -1.0, 1.0)
-    rg_u_seg = q15(cg_ref[:], 0.0, COLOR_MAX) * (HALF + 1) + q15(
+    live_bit = (live_ref[:] > 0.5).astype(jnp.int32) * (2 ** 30)
+    vl_ref[:] = (live_bit + q15(vy_ref[:] / sl, -1.0, 1.0) * (HALF + 1)
+                 + q15(vx_ref[:] / sl, -1.0, 1.0))
+    rg_ref[:] = q15(cg_ref[:], 0.0, COLOR_MAX) * (HALF + 1) + q15(
         cr_ref[:], 0.0, COLOR_MAX)
-    ba_u_seg = q15(ca_ref[:], 0.0, COLOR_MAX) * (HALF + 1) + q15(
+    ba_ref[:] = q15(ca_ref[:], 0.0, COLOR_MAX) * (HALF + 1) + q15(
         cb_ref[:], 0.0, COLOR_MAX)
 
-    seg = p0x.shape[0]
+    mx = (x0q + x1q).astype(jnp.float32) * (0.5 / pscale) - 0.5
+    my = (y0q + y1q).astype(jnp.float32) * (0.5 / pscale) - 0.5
+    keym_ref[:] = ((jnp.floor(my).astype(jnp.int32) // TILE_H) * tiles_x
+                   + (jnp.floor(mx).astype(jnp.int32) // TILE_W))
+
+
+def _expand_kernel(scal_ref, p0_ref, p1_ref, vl_ref, rg_ref, ba_ref,
+                   key_ref, pos_ref, vel_ref, rgo_ref, bao_ref, as_ref, *,
+                   samples, tiles_x, pscale, h, w):
+    """Sorted packed segments -> per-sample splat operands. Each grid block
+    maps SEG segments -> SEG*samples samples ([all s=0 | all s=1 | ...] —
+    order is irrelevant, samples of one block stay clustered)."""
+    del scal_ref
+    inv_p = 1.0 / pscale
+
+    p0 = p0_ref[:]
+    p1 = p1_ref[:]
+    p0x = (p0 & HALF).astype(jnp.float32) * inv_p
+    p0y = (p0 >> 15).astype(jnp.float32) * inv_p
+    dx = (p1 & HALF).astype(jnp.float32) * inv_p - p0x
+    dy = (p1 >> 15).astype(jnp.float32) * inv_p - p0y
+    length = jnp.sqrt(dx * dx + dy * dy)
+
+    vl = vl_ref[:]
+    live = (vl >> 30).astype(jnp.float32)
+    vel_u = vl & (2 ** 30 - 1)
+    ascale_seg = live * jnp.maximum(length, 1.0) / samples
+
+    seg = p0.shape[0]
     for s in range(samples):
         ts = (s + 0.5) / samples
-        x = p0x + dx * ts
-        y = p0y + dy * ts
-        xp = jnp.clip(x + PAD_LO_W, 1.0, PAD_LO_W + w + 1.0)
-        yp = jnp.clip(y + PAD_LO_H, 1.0, PAD_LO_H + h + 1.0)
-        moved = ((x + PAD_LO_W != xp) | (y + PAD_LO_H != yp))
+        # Positions already in padded-grid coords; clamp keeps pad samples
+        # and stray geometry inside the safe margin.
+        xp = jnp.clip(p0x + dx * ts, 1.0, PAD_LO_W + w + 1.0)
+        yp = jnp.clip(p0y + dy * ts, 1.0, PAD_LO_H + h + 1.0)
+        moved = ((p0x + dx * ts != xp) | (p0y + dy * ts != yp))
         a = jnp.where(moved, 0.0, ascale_seg)
 
         xq = jnp.round(xp * pscale).astype(jnp.int32)
         yq = jnp.round(yp * pscale).astype(jnp.int32)
-
-        gxq = xq.astype(jnp.float32) * (1.0 / pscale) - 0.5
-        gyq = yq.astype(jnp.float32) * (1.0 / pscale) - 0.5
+        gxq = xq.astype(jnp.float32) * inv_p - 0.5
+        gyq = yq.astype(jnp.float32) * inv_p - 0.5
         key = ((jnp.floor(gyq).astype(jnp.int32) // TILE_H) * tiles_x
                + (jnp.floor(gxq).astype(jnp.int32) // TILE_W))
 
         sl_out = pl.ds(s * seg, seg)
         key_ref[sl_out] = key
         pos_ref[sl_out] = yq * (HALF + 1) + xq
-        vel_ref[sl_out] = vel_u_seg
-        rg_ref[sl_out] = rg_u_seg
-        ba_ref[sl_out] = ba_u_seg
+        vel_ref[sl_out] = vel_u
+        rgo_ref[sl_out] = rg_ref[:]
+        bao_ref[sl_out] = ba_ref[:]
         as_ref[sl_out] = a
 
 
@@ -263,42 +297,62 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, colors, live,
     tiles_x = wp // TILE_W
     pscale = _pos_scale(hp, wp)
 
-    # Pad segments to a prep-block multiple (no-op for root_num >= 32).
+    # Pad segments to a block multiple (no-op for root_num >= 64).
     n = p0_pix.shape[0]
     seg_block = BLOCK // samples
     n_pad = (n + seg_block - 1) // seg_block * seg_block
     if n_pad != n:
         pad = n_pad - n
-        p0_pix = jnp.pad(p0_pix, ((0, pad), (0, 0)))
-        p1_pix = jnp.pad(p1_pix, ((0, pad), (0, 0)))
+        p0_pix = jnp.pad(p0_pix, ((0, pad), (0, 0)),
+                         constant_values=w + 64.0)
+        p1_pix = jnp.pad(p1_pix, ((0, pad), (0, 0)),
+                         constant_values=w + 64.0)
         vel = jnp.pad(vel, ((0, 0), (0, pad)))
         colors = jnp.pad(colors, ((0, 0), (0, pad)))
         live = jnp.pad(live, (0, pad))
     m_pad = n_pad * samples
 
     scal = jnp.asarray([[speed_limit, time]], jnp.float32)
-    seg_spec = pl.BlockSpec((seg_block,), lambda b: (b,),
-                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((BLOCK,), lambda b: (b,),
-                            memory_space=pltpu.VMEM)
     i32 = jnp.int32
-    key, pos_u, vel_u, rg_u, ba_u, ascale = pl.pallas_call(
-        functools.partial(_prep_kernel, samples=samples, tiles_x=tiles_x,
-                          pscale=pscale, h=h, w=w),
+
+    # Pass 1: pack segment attributes (+ midpoint tile key).
+    segspec = pl.BlockSpec((seg_block,), lambda b: (b,),
+                           memory_space=pltpu.VMEM)
+    keym, p0u, p1u, vlu, rgu, bau = pl.pallas_call(
+        functools.partial(_pack_kernel, tiles_x=tiles_x, pscale=pscale,
+                          h=h, w=w),
         grid=(n_pad // seg_block,),
         in_specs=([pl.BlockSpec((1, 2), lambda b: (0, 0),
                                 memory_space=pltpu.SMEM)]
-                  + [seg_spec] * 11),
-        out_specs=[out_spec] * 6,
-        out_shape=[jax.ShapeDtypeStruct((m_pad,), d)
-                   for d in (i32, i32, i32, i32, i32, jnp.float32)],
+                  + [segspec] * 11),
+        out_specs=[segspec] * 6,
+        out_shape=[jax.ShapeDtypeStruct((n_pad,), i32)] * 6,
         interpret=interpret,
     )(scal, p0_pix[:, 0], p0_pix[:, 1], p1_pix[:, 0], p1_pix[:, 1],
       vel[0], vel[1], colors[0], colors[1], colors[2], colors[3], live)
 
-    # With resident-sorted particles the prep output is already spatially
-    # clustered per block — the kernel's distinct-tile loop handles any
-    # order, so the sample sort is skipped entirely.
+    del keym  # midpoint key: available for segment-level binning; the
+    # splat kernel's full-block-per-tile-visit shape wants exactly sorted
+    # samples, so binning happens at sample level below.
+
+    # Pass 2: expand to per-sample splat operands.
+    out_spec = pl.BlockSpec((BLOCK,), lambda b: (b,),
+                            memory_space=pltpu.VMEM)
+    key, pos_u, vel_u, rg_u, ba_u, ascale = pl.pallas_call(
+        functools.partial(_expand_kernel, samples=samples, tiles_x=tiles_x,
+                          pscale=pscale, h=h, w=w),
+        grid=(n_pad // seg_block,),
+        in_specs=([pl.BlockSpec((1, 2), lambda b: (0, 0),
+                                memory_space=pltpu.SMEM)]
+                  + [segspec] * 5),
+        out_specs=[out_spec] * 6,
+        out_shape=[jax.ShapeDtypeStruct((m_pad,), d)
+                   for d in (i32, i32, i32, i32, i32, jnp.float32)],
+        interpret=interpret,
+    )(scal, p0u, p1u, vlu, rgu, bau)
+
+    # Bin samples by tile (6 packed int32/f32 operands). Resident-sorted
+    # particles (presort=False) keep blocks clustered enough to skip this.
     if presort:
         key, pos_u, vel_u, rg_u, ba_u, ascale = jax.lax.sort(
             [key, pos_u, vel_u, rg_u, ba_u, ascale], num_keys=1)
