@@ -467,6 +467,22 @@ class Tendrils:
                                        view=self.sim.view.at[0].set(view0))
         return self
 
+    def copy_buffer(self, index=0):
+        """Composite a view buffer's contents over the current screen output
+        — ref `src/index.js:370-383` (`copyBuffer` blits buffer `index` into
+        the bound target). Returns the composited `f32[4, H, W]` image (the
+        headless 'screen')."""
+        if index < self.config.num_view_buffers:
+            return self.sim.view[index]
+        return jnp.zeros_like(self.sim.view[0])
+
+    def draw_buffer(self, index=0):
+        """`drawBuffer`: copy a buffer to the screen then rotate the ring —
+        ref `src/index.js:358-367`. Returns the screen image."""
+        out = self.copy_buffer(index)
+        self.step_buffers()
+        return out
+
     def step_buffers(self):
         """Ring-rotate view buffers — ref `src/index.js:385-391` +
         `src/utils/index.js:1-7`."""

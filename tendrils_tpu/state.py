@@ -168,7 +168,8 @@ def particle_coords_from_idx(idx, root_num):
 
 
 def particle_uv(root_num: int) -> jax.Array:
-    """Per-particle data-texture UVs, `f32[2, N]`.
+    """Per-particle data-texture UVs, `f32[2, N]` (identity-order host twin
+    of `particle_coords_from_idx`; kept as the numpy oracle).
 
     The logic shader's `uv = gl_FragCoord.xy / dataRes` (`src/logic.frag:46`)
     with x fastest (`i = x + y*W`, `src/logic.frag:57`).

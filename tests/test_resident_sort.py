@@ -68,3 +68,15 @@ def test_resident_sorted_rows_clustered():
     key = ((np.floor(y - 0.5).astype(int) // dp.TILE_H) * (wp // dp.TILE_W)
            + np.floor(x - 0.5).astype(int) // dp.TILE_W)
     assert (np.diff(key) >= 0).all()
+
+
+def test_coords_from_idx_match_host_twins():
+    import jax.numpy as jnp
+    from tendrils_tpu import state as sm
+    r = 16
+    idx = jnp.arange(r * r, dtype=jnp.int32)
+    uv, i01, _ = sm.particle_coords_from_idx(idx, r)
+    np.testing.assert_allclose(np.asarray(uv), np.asarray(sm.particle_uv(r)),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(i01),
+                               np.asarray(sm.particle_index01(r)), atol=1e-6)
