@@ -2,7 +2,12 @@
 config 2 family: 1M particles, rasterised flow-field advection + trail
 feedback at 1080p).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Default (driver contract): prints ONE JSON line
+  {"metric", "value", "unit", "vs_baseline"}.
+
+`--all` additionally measures every BASELINE.md config (1: 256² noise-only;
+2: 1M flow+trail; 3: 4M respawn stress; 4: optical-flow-driven; 5: 16M
+live-show with 4K trail + bokeh), one JSON line each.
 
 Baseline: the reference's implicit design point — its tier-1 quality is
 1024² = 1,048,576 particles at the fixed 60 steps/s timestep
@@ -14,6 +19,7 @@ timing uses host readbacks.
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -23,49 +29,136 @@ import jax.numpy as jnp
 BASELINE_PSTEPS = 1024 * 1024 * 60  # reference tier-1 @ 60 steps/s
 
 
-def main():
+def _engine(root, view, on_tpu, **kw):
     from tendrils_tpu import EngineConfig, Tendrils
-    from tendrils_tpu.engine import run_headless
     from tendrils_tpu.ops import spawn
 
-    on_tpu = jax.default_backend() == "tpu"
-    root = 1024 if on_tpu else 64
-    steps = 30 if on_tpu else 3
     cfg = EngineConfig(
-        root_num=root, view_res=(1080, 1920),
+        root_num=root, view_res=view,
         splat_backend="pallas" if on_tpu else "xla",
         gather_backend="pallas" if on_tpu else "xla",
-        flow_samples=2, flow_rows=1, view_samples=2,
-        resident_sort=0)
-
+        flow_samples=2, flow_rows=1, view_samples=2, **kw)
     eng = Tendrils(cfg)
     eng.setup()
     eng.spawn_shader(lambda p, e: spawn.ball(p, e._frag_xy, 0.6, 0.01))
+    return eng
 
-    params = eng.params()
+
+def _scan_steps(eng, steps, params=None):
+    """Run `steps` frames under lax.scan, return seconds per step."""
+    from tendrils_tpu.engine import run_headless
+    params = params or eng.params()
     dt = 1000.0 / 60.0
-
     fn = jax.jit(
-        lambda sim, t0: run_headless(sim, params, cfg, eng._view_size, t0,
-                                     dt, steps),
+        lambda sim, t0: run_headless(sim, params, eng.config,
+                                     eng._view_size, t0, dt, steps),
         donate_argnums=(0,))
-
     sim = fn(eng.sim, jnp.float32(0.0))
     float(sim.particles[0, 0])  # force (block_until_ready lies on axon)
-
     t0 = time.time()
     sim = fn(sim, jnp.float32(steps * dt))
     float(sim.particles[0, 0])
-    elapsed = time.time() - t0
+    eng.sim = sim
+    return (time.time() - t0) / steps
 
-    n = cfg.n
-    psteps = n * steps / elapsed
+
+def _line(config, n, sec_per_step, extra=""):
+    psteps = n / sec_per_step
+    print(json.dumps({
+        "metric": "particle_steps_per_sec",
+        "config": config,
+        "value": round(psteps),
+        "unit": f"particle-steps/s ({extra})",
+        "ms_per_step": round(sec_per_step * 1000, 2),
+        "vs_baseline": round(psteps / BASELINE_PSTEPS, 4),
+    }))
+
+
+def bench_default(on_tpu):
+    root = 1024 if on_tpu else 64
+    steps = 30 if on_tpu else 3
+    eng = _engine(root, (1080, 1920), on_tpu)
+    sec = _scan_steps(eng, steps)
+    psteps = eng.config.n / sec
+    # Driver contract line (exactly the documented four keys).
     print(json.dumps({
         "metric": "particle_steps_per_sec",
         "value": round(psteps),
         "unit": "particle-steps/s (1M particles, flow feedback + 1080p trail)",
         "vs_baseline": round(psteps / BASELINE_PSTEPS, 4),
     }))
+
+
+def bench_all(on_tpu):
+    s = 20 if on_tpu else 2
+
+    # 1: default demo preset scale, 256^2, noise-only.
+    eng = _engine(256 if on_tpu else 32, (720, 1280), on_tpu)
+    eng.state["flowWeight"] = 0.0
+    sec = _scan_steps(eng, s * 2 if on_tpu else s)
+    _line("1:256sq-noise-only", eng.config.n, sec, "256² noise-only, 720p")
+
+    # 2: 1M flow feedback + trail, 1080p.
+    eng = _engine(1024 if on_tpu else 64, (1080, 1920), on_tpu)
+    sec = _scan_steps(eng, s)
+    _line("2:1M-flow-trail", eng.config.n, sec, "1M flow feedback, 1080p")
+
+    # 3: 4M respawn stress (GPU ball respawn every 10 steps).
+    from tendrils_tpu.ops import spawn as sp
+    eng = _engine(2048 if on_tpu else 64, (1080, 1920), on_tpu)
+    segs = 3
+    per = 10 if on_tpu else 2
+    t0 = time.time()
+    for _ in range(segs):
+        eng.spawn_shader(lambda p, e: sp.ball(p, e._frag_xy, 0.6, 0.01))
+        _scan_steps(eng, per)
+    float(eng.sim.particles[0, 0])
+    sec = (time.time() - t0) / (segs * per)
+    _line("3:4M-respawn-stress", eng.config.n, sec,
+          "4M, respawn every 10 steps")
+
+    # 4: optical-flow-driven (synthetic moving-bar camera at 480p).
+    import numpy as np
+    from tendrils_tpu.media import OpticalFlow
+    eng = _engine(512 if on_tpu else 32, (720, 1280), on_tpu)
+    of = OpticalFlow({"offset": 0.05, "speed": 0.08})
+    frames = 20 if on_tpu else 2
+    t0 = time.time()
+    for i in range(frames):
+        img = np.zeros((480, 640, 3), np.float32)
+        img[:, (i * 8) % 600:(i * 8) % 600 + 40] = 1.0
+        of.set_pixels(img)
+        payload = of.update(time=i * 16.0, speedLimit=0.01)
+        eng.composite_flow(payload)
+        of.step()
+        eng.frame()
+    float(eng.sim.particles[0, 0])
+    sec = (time.time() - t0) / frames
+    _line("4:optical-flow-driven", eng.config.n, sec,
+          "512² + camera optical flow")
+
+    # 5: live-show: 16M particles, 4K trail, audio-style modulation + bokeh.
+    from tendrils_tpu.ops import post
+    eng = _engine(4096 if on_tpu else 64, (2160, 3840), on_tpu)
+    frames = 3 if on_tpu else 1
+    t0 = time.time()
+    for i in range(frames):
+        eng.state["noiseScale"] = 2.0 + 0.5 * (i % 3)  # audio-style mod
+        eng.frame()
+    screen = post.bokeh(eng.sim.view[0], jnp.float32(3.0),
+                        jnp.float32(40.0))
+    float(screen[0, 0, 0])
+    sec = (time.time() - t0) / frames
+    _line("5:16M-4K-live-show", eng.config.n, sec,
+          "16M particles, 4K trail + bokeh")
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    if "--all" in sys.argv:
+        bench_all(on_tpu)
+    else:
+        bench_default(on_tpu)
 
 
 if __name__ == "__main__":

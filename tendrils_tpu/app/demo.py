@@ -12,7 +12,6 @@ drive it through the feed methods (`pointer_move`, `feed_video_frame`,
 
 from __future__ import annotations
 
-import math
 import urllib.parse
 
 import jax.numpy as jnp

@@ -3,10 +3,10 @@ sort + ONE Pallas splat kernel.
 
 The reference draws particles twice per frame — GL_LINES into the flow FBO,
 then into the view buffer (`src/index.js:296-337`). Both passes splat the
-same segment samples, so on TPU they share one tile binning: 12 accumulation
-channels (flow: payload×α, α, log-transmittance; view: colour×α, α,
-log-transmittance) land in one matmul per tile visit,
-A[12·16, BK] @ X[BK, 256].
+same segment samples, so on TPU they share one tile binning: 11 accumulation
+channels (flow: vel×α, weight×α, α, log-transmittance — the constant stamp is
+derived at resolve; view: colour×α, α, log-transmittance) land in one bf16
+MXU matmul per tile visit, A[11·REGION_H, BK] @ X[BK, REGION_W].
 
 Sort bandwidth is the hot cost, so sample attributes ride in 15-bit
 fixed-point pairs packed two-per-int32 (positions at 1/8 px, velocities over
