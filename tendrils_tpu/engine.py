@@ -101,22 +101,6 @@ def flow_pyramid(flow_grid, levels):
     return grids
 
 
-def _gather_fn(cfg: EngineConfig):
-    if cfg.gather_backend == "xla":
-        return None  # flow_at_screen_pos default (XLA bilinear gather)
-    if cfg.gather_backend == "pallas":
-        from .ops.gather_pallas import bilinear_gather
-        clustered = cfg.resident_sort > 0
-
-        def sample_fn(grid, uv):
-            _, h, w = grid.shape
-            return bilinear_gather(grid, uv[..., 0] * w, uv[..., 1] * h,
-                                   clustered=clustered)
-
-        return sample_fn
-    raise ValueError(f"unknown gather backend: {cfg.gather_backend}")
-
-
 def resort_sim(sim: state_mod.SimState, cfg: EngineConfig, view_size):
     """Reorder the particle rows by flow-grid tile of their position.
 
@@ -155,10 +139,43 @@ def step_sim(sim: state_mod.SimState, params, time, dt, cfg: EngineConfig,
     `src/particles.js:123-145`."""
     uv, index01, _ = state_mod.particle_coords_from_idx(sim.idx,
                                                         cfg.root_num)
-    flows = flow_pyramid(sim.flow, cfg.flow_levels)
+    if cfg.gather_backend not in ("xla", "pallas"):
+        raise ValueError(f"unknown gather backend: {cfg.gather_backend}")
+    flow_force_fn = None
+    if cfg.gather_backend == "pallas":
+        # Fast path: decay the whole flow grid once (elementwise), then
+        # gather only the 2 effective-velocity channels. Decay is linear in
+        # the stamp away from the max() clamp, so decay-then-interpolate
+        # matches the reference's interpolate-then-decay
+        # (`src/flow/get.glsl:3-5`) except at stale/live texel mixes where
+        # both are ~0; the XLA backend keeps the exact order.
+        from .ops.gather_pallas import bilinear_gather
+
+        eff = sim.flow[:2] * jnp.maximum(
+            0.0, 1.0 - (time - sim.flow[2]) * params["flowDecay"])[None]
+        eff_pyr = flow_pyramid(eff, cfg.flow_levels)
+        clustered = cfg.resident_sort > 0
+
+        def flow_force_fn(pos_screen):
+            u = pos_screen * 0.5 + 0.5
+            force = 0.0
+            total = 0.0
+            for level, grid in enumerate(eff_pyr):
+                _, h, w = grid.shape
+                factor = 1.0 / (level + 1.0)
+                force = force + bilinear_gather(
+                    grid, u[..., 0] * w, u[..., 1] * h,
+                    clustered=clustered) * factor
+                total = total + factor
+            return force / total
+
+        flows = None
+    else:
+        flows = flow_pyramid(sim.flow, cfg.flow_levels)
+
     new_particles = logic.step_particles(
         sim.particles, flows, sim.targets, params, uv, index01, view_size,
-        time, dt, sample_fn=_gather_fn(cfg))
+        time, dt, sample_fn=None, flow_force_fn=flow_force_fn)
     return dataclasses.replace(sim, particles=new_particles,
                                previous=sim.particles)
 

@@ -44,13 +44,15 @@ def wander_force(pos, uv, index01, params, time):
 
 
 def step_particles(particles, flows, targets, params, uv, index01, view_size,
-                   time, dt, sample_fn=None):
+                   time, dt, sample_fn=None, flow_force_fn=None):
     """One logic step: `f32[4, N]` -> `f32[4, N]`. Ref `src/logic.frag:45-101`.
 
     `flows`: list of flow grids `f32[4, H, W]` (LOD pyramid; usually one).
     `targets`: `f32[4, N]` (only xy read — ref `src/logic.frag:85`).
     `view_size`: `f32[2]` cover-aspect scale (ref `src/index.js:398`).
-    `sample_fn`: flow gather backend (see `flow.flow_at_screen_pos`).
+    `sample_fn`: flow gather backend (see `flow.flow_at_screen_pos`);
+    `flow_force_fn(pos_screen [N,2]) -> f32[2, N]` overrides the whole flow
+    -force evaluation (the engine's pre-decayed Pallas fast path).
     """
     pos = particles[:2]
     vel = particles[2:]
@@ -64,8 +66,11 @@ def step_particles(particles, flows, targets, params, uv, index01, view_size,
     # ref `src/index.js:296-298`).
     pos_screen = jnp.stack([pos[0] * view_size[0], pos[1] * view_size[1]],
                            axis=-1)
-    flow_force = flow_ops.flow_at_screen_pos(pos_screen, flows, time,
-                                             params["flowDecay"], sample_fn)
+    if flow_force_fn is not None:
+        flow_force = flow_force_fn(pos_screen)
+    else:
+        flow_force = flow_ops.flow_at_screen_pos(
+            pos_screen, flows, time, params["flowDecay"], sample_fn)
 
     force_w = vary(params["forceWeight"], index01, params["varyForce"])
     flow_w = vary(params["flowWeight"], index01, params["varyFlow"])
