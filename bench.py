@@ -108,6 +108,9 @@ def bench_all(on_tpu):
     eng = _engine(2048 if on_tpu else 64, (1080, 1920), on_tpu)
     segs = 3
     per = 10 if on_tpu else 2
+    # Warm-up compiles (spawn + scan variants).
+    eng.spawn_shader(lambda p, e: sp.ball(p, e._frag_xy, 0.6, 0.01))
+    _scan_steps(eng, per)
     t0 = time.time()
     for _ in range(segs):
         eng.spawn_shader(lambda p, e: sp.ball(p, e._frag_xy, 0.6, 0.01))
@@ -123,8 +126,8 @@ def bench_all(on_tpu):
     eng = _engine(512 if on_tpu else 32, (720, 1280), on_tpu)
     of = OpticalFlow({"offset": 0.05, "speed": 0.08})
     frames = 20 if on_tpu else 2
-    t0 = time.time()
-    for i in range(frames):
+
+    def of_frame(i):
         img = np.zeros((480, 640, 3), np.float32)
         img[:, (i * 8) % 600:(i * 8) % 600 + 40] = 1.0
         of.set_pixels(img)
@@ -132,6 +135,12 @@ def bench_all(on_tpu):
         eng.composite_flow(payload)
         of.step()
         eng.frame()
+
+    of_frame(0)  # warm-up compile
+    float(eng.sim.particles[0, 0])
+    t0 = time.time()
+    for i in range(frames):
+        of_frame(i + 1)
     float(eng.sim.particles[0, 0])
     sec = (time.time() - t0) / frames
     _line("4:optical-flow-driven", eng.config.n, sec,
@@ -141,6 +150,8 @@ def bench_all(on_tpu):
     from tendrils_tpu.ops import post
     eng = _engine(4096 if on_tpu else 64, (2160, 3840), on_tpu)
     frames = 3 if on_tpu else 1
+    eng.frame()  # warm-up compile
+    float(eng.sim.particles[0, 0])
     t0 = time.time()
     for i in range(frames):
         eng.state["noiseScale"] = 2.0 + 0.5 * (i % 3)  # audio-style mod
