@@ -172,3 +172,57 @@ class TestSubSequencer:
         assert len(seq.pending) == 1
         seq.tick(now=200.0)
         assert len(seq.pending) == 0
+
+
+class TestDemoSpawnPaths:
+    def test_set_image_and_spawn_image(self):
+        demo = small_demo()
+        rng = np.random.default_rng(0)
+        demo.set_image(rng.uniform(0, 255, (24, 32, 3)).astype(np.uint8))
+        demo.spawn_image(None)
+        p = np.asarray(demo.tendrils.sim.particles)
+        assert (p[0] > -9e5).all()  # all particles spawned from the image
+        # Colour map follows the image raster — ref demo.main.js:503.
+        assert demo.tendrils.sim.color_map.shape[1:] == (24, 32)
+
+    def test_spawn_image_targets_sets_both(self):
+        demo = small_demo()
+        demo.set_image(np.full((16, 16, 3), 200, np.uint8))
+        demo.spawn_image_targets()
+        t = np.asarray(demo.tendrils.sim.targets)
+        assert np.abs(t[:2]).max() <= 1.5  # image positions, not inert
+        assert demo.spawn_targets["spawnImage"] == "targets"
+
+    def test_spawn_flow_mirror_scales(self):
+        demo = small_demo()
+        demo.render()
+        for scale in ["normal", "mirror x", "mirror y", "mirror xy"]:
+            demo.flow_pixel_state["scale"] = scale
+            demo.spawn_flow()
+        p = np.asarray(demo.tendrils.sim.particles)
+        assert np.isfinite(p).all()
+
+    def test_spawn_fastest_runs(self):
+        demo = small_demo()
+        demo.render()
+        demo.spawn_fastest()
+        assert np.isfinite(np.asarray(demo.tendrils.sim.particles)).all()
+
+    def test_wav_track_reactivity(self, tmp_path):
+        import math
+        import wave
+        sr = 8000
+        t = np.arange(sr) / sr
+        pcm = (np.sin(2 * math.pi * 440 * t) * 20000).astype(np.int16)
+        path = str(tmp_path / "t.wav")
+        with wave.open(path, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(pcm.tobytes())
+        demo = small_demo(track=path)
+        demo.play_track()
+        for _ in range(3):
+            demo.render()
+        # Track spectrum reached the texture (some energy registered).
+        assert demo.track_texture.array.max() >= 0
