@@ -44,19 +44,27 @@ def _engine(root, view, on_tpu, **kw):
     return eng
 
 
-def _scan_steps(eng, steps, params=None):
-    """Run `steps` frames under lax.scan, return seconds per step."""
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "steps"),
+                   donate_argnums=(0,))
+def _run_scan(sim, params, cfg, view_size, t0, dt, steps):
     from tendrils_tpu.engine import run_headless
+    return run_headless(sim, params, cfg, view_size, t0, dt, steps)
+
+
+def _scan_steps(eng, steps, params=None):
+    """Run `steps` frames under lax.scan, return seconds per step (jit
+    cache keyed on (cfg, steps) — no per-call recompiles)."""
     params = params or eng.params()
     dt = 1000.0 / 60.0
-    fn = jax.jit(
-        lambda sim, t0: run_headless(sim, params, eng.config,
-                                     eng._view_size, t0, dt, steps),
-        donate_argnums=(0,))
-    sim = fn(eng.sim, jnp.float32(0.0))
+    sim = _run_scan(eng.sim, params, eng.config, eng._view_size,
+                    jnp.float32(0.0), dt, steps)
     float(sim.particles[0, 0])  # force (block_until_ready lies on axon)
     t0 = time.time()
-    sim = fn(sim, jnp.float32(steps * dt))
+    sim = _run_scan(sim, params, eng.config, eng._view_size,
+                    jnp.float32(steps * dt), dt, steps)
     float(sim.particles[0, 0])
     eng.sim = sim
     return (time.time() - t0) / steps
@@ -156,8 +164,9 @@ def bench_all(on_tpu):
     for i in range(frames):
         eng.state["noiseScale"] = 2.0 + 0.5 * (i % 3)  # audio-style mod
         eng.frame()
-    screen = post.bokeh(eng.sim.view[0], jnp.float32(3.0),
-                        jnp.float32(40.0))
+    bokeh = jax.jit(post.bokeh)
+    bokeh(eng.sim.view[0], jnp.float32(3.0), jnp.float32(40.0))  # warm-up
+    screen = bokeh(eng.sim.view[0], jnp.float32(3.0), jnp.float32(40.0))
     float(screen[0, 0, 0])
     sec = (time.time() - t0) / frames
     _line("5:16M-4K-live-show", eng.config.n, sec,

@@ -12,8 +12,10 @@ drive it through the feed methods (`pointer_move`, `feed_video_frame`,
 
 from __future__ import annotations
 
+import functools
 import urllib.parse
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -605,14 +607,11 @@ class TendrilsDemo:
                       else self.image_spawners["direct"].buffer)
         alphas = jnp.asarray([self.blend_proxy[k] for k in self.blend_keys],
                              jnp.float32)
-        # Views may differ in shape; resize to the largest.
-        import jax.image
+        # Views may differ in shape; resize to the largest; one jitted pass.
         shapes = [mic_grid.shape, track_grid.shape, video_grid.shape]
         target = max(shapes, key=lambda sh: sh[1] * sh[2])
-        views = [v if v.shape == target else jax.image.resize(v, target,
-                                                              "bilinear")
-                 for v in (mic_grid, track_grid, video_grid)]
-        self.tendrils.set_color_map(post.blend(views, alphas))
+        self.tendrils.set_color_map(_blend_views(
+            (mic_grid, track_grid, video_grid), alphas, target))
 
         # The main event.
         self.tendrils.step().draw()
@@ -677,6 +676,15 @@ class TendrilsDemo:
     def presets(self):
         return {name: (lambda n=name: self.apply_preset(n))
                 for name in PRESETS}
+
+
+@functools.partial(jax.jit, static_argnames=("target",))
+def _blend_views(views, alphas, target):
+    import jax.image
+    views = [v if v.shape == target else jax.image.resize(v, target,
+                                                          "bilinear")
+             for v in views]
+    return post.blend(views, alphas)
 
 
 def tendrils_demo(settings=None, **kw):

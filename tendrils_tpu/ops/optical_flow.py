@@ -15,6 +15,7 @@ The double-buffered frame rotation (`optical-flow/index.js:32-73`) lives in
 the `OpticalFlow` wrapper in `tendrils_tpu/media.py`.
 """
 
+import jax
 import jax.numpy as jnp
 
 from . import flow as flow_ops
@@ -48,6 +49,7 @@ def _translate(img, dx, dy):
     return top + (bot - top) * fy
 
 
+@jax.jit
 def optical_flow(view, last, time, offset=0.1, lambda_=0.001, speed=1.0,
                  speed_limit=1.0):
     """Flow payload grid from two frames.
@@ -86,6 +88,7 @@ def optical_flow(view, last, time, offset=0.1, lambda_=0.001, speed=1.0,
                                  speed_limit).reshape(4, h, w)
 
 
+@jax.jit
 def composite_flow(flow_grid, payload):
     """Alpha-blend an optical-flow payload over the engine flow grid — the
     reference renders the optical-flow quad into the flow FBO with

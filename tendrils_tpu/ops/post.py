@@ -20,6 +20,9 @@ TPU re-derivations of the reference's screen-space passes (SURVEY §2.6):
 All radii in the stack are static config; the *strength* params stay traced.
 """
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from . import coords
@@ -103,6 +106,7 @@ def _stack_lerp(stack, level):
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("radii",))
 def vignette_blur(view, radius, limit, radii=(2, 6, 16)):
     """Edge blur — ref `src/screen/blur.frag:24-32`.
 
@@ -123,6 +127,7 @@ def vignette_blur(view, radius, limit, radii=(2, 6, 16)):
     return jnp.concatenate([blurred[:3], view[3:4]])
 
 
+@functools.partial(jax.jit, static_argnames=("radii",))
 def bokeh(view, radius, amount, radii=(2, 6, 16)):
     """Vignette bokeh — ref `src/screen/bokeh.frag:27-34` +
     `libs/bokeh/index.glsl`.
