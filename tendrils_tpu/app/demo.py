@@ -613,8 +613,9 @@ class TendrilsDemo:
         self.tendrils.set_color_map(_blend_views(
             (mic_grid, track_grid, video_grid), alphas, target))
 
-        # The main event.
-        self.tendrils.step().draw()
+        # The main event (single jitted dispatch — the timer was ticked
+        # above, matching ref `tendrils.step().draw()` demo.main.js:1082).
+        self.tendrils.step_draw()
 
         # Post: fade + vignette blur to screen — ref demo.main.js:1084-1102.
         view = self.tendrils.sim.view[0]

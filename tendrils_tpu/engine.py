@@ -390,6 +390,20 @@ class Tendrils:
                              self._view_size)
         return self
 
+    def step_draw(self):
+        """step + draw in ONE device dispatch (no timer tick) — for hosts
+        that tick timers themselves (the demo loop); halves per-frame
+        dispatch latency on remote devices."""
+        if self.timer.paused:
+            return self.draw()
+        self._maybe_resort()
+        self._frame_idx += 1
+        self.sim = _frame_jit(self.sim, self.params(),
+                              jnp.float32(self.timer.time),
+                              jnp.float32(self.timer.dt), self.config,
+                              self._view_size)
+        return self
+
     def frame(self):
         """tick + step + draw — one fused jitted frame (the hot loop)."""
         self.timer.tick()

@@ -142,3 +142,19 @@ class TestEngine:
         eng.timer.paused = True
         eng.frame()
         np.testing.assert_array_equal(np.asarray(eng.sim.particles), p)
+
+
+class TestFlowResDecoupled:
+    def test_low_res_flow_grid(self):
+        # flow_res != view_res forces the generic (non-fused) draw path;
+        # flow samples/splats at the lower resolution.
+        eng = Tendrils(EngineConfig(root_num=16, view_res=(48, 64),
+                                    flow_res=(24, 32), flow_samples=2,
+                                    flow_rows=1, view_samples=2))
+        eng.setup()
+        eng.spawn_shader(lambda p, e: spawn.ball(p, e._frag_xy, 0.6, 0.01))
+        for _ in range(3):
+            eng.frame()
+        assert eng.sim.flow.shape == (4, 24, 32)
+        assert np.asarray(eng.sim.flow)[3].max() > 0
+        assert np.isfinite(np.asarray(eng.sim.particles)).all()

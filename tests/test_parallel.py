@@ -70,3 +70,13 @@ def test_parallel_multi_step_stable(engine):
     assert np.all(speed <= float(params["speedLimit"]) + 1e-6)
     # Flow got written by all shards' particles.
     assert np.abs(np.asarray(sim.flow)[3]).sum() > 0
+
+
+def test_parallel_tendrils_facade(engine):
+    from tendrils_tpu.parallel.sharding import ParallelTendrils
+    par = ParallelTendrils(engine)
+    par.frame()
+    par.frame()
+    p = np.asarray(engine.sim.particles)
+    assert np.isfinite(p).all()
+    assert np.abs(np.asarray(engine.sim.flow)[3]).sum() > 0
