@@ -23,6 +23,7 @@ Spawners:
 
 import functools
 
+import jax
 import jax.numpy as jnp
 
 from ..const import INERT, TAU
@@ -38,6 +39,7 @@ def angle_to_vec(rad):
     return jnp.stack([jnp.cos(rad), jnp.sin(rad)], axis=-1)
 
 
+@jax.jit
 def init(particles):
     """All particles inert — ref `src/spawn/init/index.frag`."""
     n = particles.shape[1]
@@ -46,6 +48,7 @@ def init(particles):
         jnp.zeros((2, n), jnp.float32)])
 
 
+@jax.jit
 def ball(particles, frag_xy, radius, speed):
     """Uniform random disc — ref `src/spawn/ball/index.frag:8-18`.
 
@@ -64,6 +67,7 @@ def ball(particles, frag_xy, radius, speed):
     return jnp.concatenate([pos, vel])
 
 
+@jax.jit
 def ball_random(particles, key, radius=1.0, speed=0.01):
     """CPU-twin ball spawn with a fresh random stream each call — ref
     `src/spawn/ball/cpu.js` (`Math.random` rather than the coordinate hash,
@@ -190,6 +194,7 @@ def rgb_to_hsv(r, g, b):
     return h, s, v
 
 
+@functools.partial(jax.jit, static_argnames=("apply_fn",))
 def pixels_direct(particles, spawn_data, data_uv, *, apply_fn, speed,
                   spawn_matrix, spawn_size, jitter, time, **apply_kw):
     """Direct per-texel spawn — ref `spawn/pixels/frag/direct-main.frag:10-21`.
@@ -203,6 +208,8 @@ def pixels_direct(particles, spawn_data, data_uv, *, apply_fn, speed,
     return jnp.concatenate([st[:2], st[2:] * speed])
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("apply_fn", "test_fn", "samples"))
 def pixels_best_sample(particles, spawn_data, data_uv, *, apply_fn, test_fn,
                        samples, bias, speed, spawn_matrix, spawn_size, jitter,
                        time, **apply_kw):
@@ -253,6 +260,7 @@ def shuffle_triangles(key, count=3, radii=(0.25, 1.3), arcs=(1e-2, 3e-2),
     return jnp.stack([p0, p1, p2], axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("grid_hw",))
 def rasterize_triangles(tris, grid_hw, view_size, color=(1.0, 1.0, 1.0, 1.0)):
     """Rasterise triangles into `f32[4, H, W]` — the reference draws its fan
     into a small FBO at 0.2× view res (`src/spawn/geometry/index.js:94-103`).
