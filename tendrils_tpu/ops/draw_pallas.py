@@ -66,7 +66,7 @@ def _q15(v, lo, hi):
     return jnp.round(t * HALF).astype(jnp.int32)
 
 
-def _kernel(scal_ref, key_ref, pos_ref, vel_ref, rg_ref, ba_ref, as_ref,
+def _kernel(scal_ref, key_ref, pos_ref, vel_ref, rgba_ref, as_ref,
             accum_ref, out_ref, region, sem_in, sem_out, *, tiles_x,
             pscale):
     """scal: f32[1, 2] SMEM (speedLimit, time)."""
@@ -96,12 +96,15 @@ def _kernel(scal_ref, key_ref, pos_ref, vel_ref, rg_ref, ba_ref, as_ref,
     vel = vel_ref[:]
     vx = unq(vel & HALF, -1.0, 1.0) * speed_limit
     vy = unq(vel >> 15, -1.0, 1.0) * speed_limit
-    rg = rg_ref[:]
-    cr = unq(rg & HALF, 0.0, COLOR_MAX)
-    cg = unq(rg >> 15, 0.0, COLOR_MAX)
-    ba = ba_ref[:]
-    cb = unq(ba & HALF, 0.0, COLOR_MAX)
-    ca = unq(ba >> 15, 0.0, COLOR_MAX)
+    # Colours ride 8 bits per channel over [0, COLOR_MAX) — the reference
+    # displays on an 8-bit canvas, and trail accumulation averages the
+    # quantisation out.
+    rgba = rgba_ref[:]
+    c8 = COLOR_MAX / 255.0
+    cr = (rgba & 255).astype(jnp.float32) * c8
+    cg = ((rgba >> 8) & 255).astype(jnp.float32) * c8
+    cb = ((rgba >> 16) & 255).astype(jnp.float32) * c8
+    ca = ((rgba >> 24) & 127).astype(jnp.float32) * (COLOR_MAX / 127.0)
     ascale = as_ref[:]
 
     wf = jnp.minimum(jnp.sqrt(vx * vx + vy * vy) / speed_limit, 1.0)
@@ -189,7 +192,7 @@ def _box_blur_traced(img, radius):
 
 def _pack_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
                  vy_ref, cr_ref, cg_ref, cb_ref, ca_ref, live_ref,
-                 keym_ref, p0_ref, p1_ref, vl_ref, rg_ref, ba_ref, *,
+                 keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref, *,
                  tiles_x, pscale, h, w):
     """Pack per-segment attributes into 15-bit pairs + the midpoint tile key
     (one Pallas pass; sorting then moves 6 int32 streams instead of 10 f32).
@@ -218,10 +221,12 @@ def _pack_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
     live_bit = (live_ref[:] > 0.5).astype(jnp.int32) * (2 ** 30)
     vl_ref[:] = (live_bit + q15(vy_ref[:] / sl, -1.0, 1.0) * (HALF + 1)
                  + q15(vx_ref[:] / sl, -1.0, 1.0))
-    rg_ref[:] = q15(cg_ref[:], 0.0, COLOR_MAX) * (HALF + 1) + q15(
-        cr_ref[:], 0.0, COLOR_MAX)
-    ba_ref[:] = q15(ca_ref[:], 0.0, COLOR_MAX) * (HALF + 1) + q15(
-        cb_ref[:], 0.0, COLOR_MAX)
+    def q8(v, levels=255):
+        t = jnp.clip(v / COLOR_MAX, 0.0, 1.0)
+        return jnp.round(t * levels).astype(jnp.int32)
+
+    rgba_ref[:] = (q8(cr_ref[:]) + q8(cg_ref[:]) * 256
+                   + q8(cb_ref[:]) * 65536 + q8(ca_ref[:], 127) * 16777216)
 
     mx = (x0q + x1q).astype(jnp.float32) * (0.5 / pscale) - 0.5
     my = (y0q + y1q).astype(jnp.float32) * (0.5 / pscale) - 0.5
@@ -229,8 +234,8 @@ def _pack_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
                    + (jnp.floor(mx).astype(jnp.int32) // TILE_W))
 
 
-def _expand_kernel(scal_ref, p0_ref, p1_ref, vl_ref, rg_ref, ba_ref,
-                   key_ref, pos_ref, vel_ref, rgo_ref, bao_ref, as_ref, *,
+def _expand_kernel(scal_ref, p0_ref, p1_ref, vl_ref, rgba_ref,
+                   key_ref, pos_ref, vel_ref, rgbao_ref, as_ref, *,
                    samples, tiles_x, pscale, h, w):
     """Sorted packed segments -> per-sample splat operands. Each grid block
     maps SEG segments -> SEG*samples samples ([all s=0 | all s=1 | ...] —
@@ -272,8 +277,7 @@ def _expand_kernel(scal_ref, p0_ref, p1_ref, vl_ref, rg_ref, ba_ref,
         key_ref[sl_out] = key
         pos_ref[sl_out] = yq * (HALF + 1) + xq
         vel_ref[sl_out] = vel_u
-        rgo_ref[sl_out] = rg_ref[:]
-        bao_ref[sl_out] = ba_ref[:]
+        rgbao_ref[sl_out] = rgba_ref[:]
         as_ref[sl_out] = a
 
 
@@ -318,15 +322,15 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, colors, live,
     # Pass 1: pack segment attributes (+ midpoint tile key).
     segspec = pl.BlockSpec((seg_block,), lambda b: (b,),
                            memory_space=pltpu.VMEM)
-    keym, p0u, p1u, vlu, rgu, bau = pl.pallas_call(
+    keym, p0u, p1u, vlu, rgbau = pl.pallas_call(
         functools.partial(_pack_kernel, tiles_x=tiles_x, pscale=pscale,
                           h=h, w=w),
         grid=(n_pad // seg_block,),
         in_specs=([pl.BlockSpec((1, 2), lambda b: (0, 0),
                                 memory_space=pltpu.SMEM)]
                   + [segspec] * 11),
-        out_specs=[segspec] * 6,
-        out_shape=[jax.ShapeDtypeStruct((n_pad,), i32)] * 6,
+        out_specs=[segspec] * 5,
+        out_shape=[jax.ShapeDtypeStruct((n_pad,), i32)] * 5,
         interpret=interpret,
     )(scal, p0_pix[:, 0], p0_pix[:, 1], p1_pix[:, 0], p1_pix[:, 1],
       vel[0], vel[1], colors[0], colors[1], colors[2], colors[3], live)
@@ -338,24 +342,24 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, colors, live,
     # Pass 2: expand to per-sample splat operands.
     out_spec = pl.BlockSpec((BLOCK,), lambda b: (b,),
                             memory_space=pltpu.VMEM)
-    key, pos_u, vel_u, rg_u, ba_u, ascale = pl.pallas_call(
+    key, pos_u, vel_u, rgba_u, ascale = pl.pallas_call(
         functools.partial(_expand_kernel, samples=samples, tiles_x=tiles_x,
                           pscale=pscale, h=h, w=w),
         grid=(n_pad // seg_block,),
         in_specs=([pl.BlockSpec((1, 2), lambda b: (0, 0),
                                 memory_space=pltpu.SMEM)]
-                  + [segspec] * 5),
-        out_specs=[out_spec] * 6,
+                  + [segspec] * 4),
+        out_specs=[out_spec] * 5,
         out_shape=[jax.ShapeDtypeStruct((m_pad,), d)
-                   for d in (i32, i32, i32, i32, i32, jnp.float32)],
+                   for d in (i32, i32, i32, i32, jnp.float32)],
         interpret=interpret,
-    )(scal, p0u, p1u, vlu, rgu, bau)
+    )(scal, p0u, p1u, vlu, rgbau)
 
-    # Bin samples by tile (6 packed int32/f32 operands). Resident-sorted
+    # Bin samples by tile (5 packed int32/f32 operands). Resident-sorted
     # particles (presort=False) keep blocks clustered enough to skip this.
     if presort:
-        key, pos_u, vel_u, rg_u, ba_u, ascale = jax.lax.sort(
-            [key, pos_u, vel_u, rg_u, ba_u, ascale], num_keys=1)
+        key, pos_u, vel_u, rgba_u, ascale = jax.lax.sort(
+            [key, pos_u, vel_u, rgba_u, ascale], num_keys=1)
 
     accum0 = jnp.zeros((N_CHAN, hp, wp), jnp.float32)
 
@@ -366,7 +370,7 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, colors, live,
         grid=(m_pad // BLOCK,),
         in_specs=([pl.BlockSpec((1, 2), lambda b: (0, 0),
                                 memory_space=pltpu.SMEM)]
-                  + [blocked] * 6
+                  + [blocked] * 5
                   + [pl.BlockSpec(memory_space=pl.ANY)]),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((N_CHAN, hp, wp), jnp.float32),
@@ -375,11 +379,11 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, colors, live,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
-        input_output_aliases={7: 0},
+        input_output_aliases={6: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(scal, key, pos_u, vel_u, rg_u, ba_u, ascale, accum0)
+    )(scal, key, pos_u, vel_u, rgba_u, ascale, accum0)
 
     out = out[:, PAD_LO_H:PAD_LO_H + h, PAD_LO_W:PAD_LO_W + w]
     # Reassemble the flow payload: stamp num = time · wsum (constant stamp).
