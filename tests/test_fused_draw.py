@@ -85,3 +85,77 @@ def test_fused_engine_runs_multiframe():
     assert np.isfinite(p).all()
     assert np.asarray(eng.sim.flow)[3].max() > 0
     assert np.asarray(eng.sim.view)[0, 3].max() > 0
+
+
+def test_low_pscale_wide_grid():
+    # Very wide grids force coarse position quantization (pscale 2-4);
+    # packing must stay within 15-bit fields and deposits must land near
+    # the right texels.
+    from tendrils_tpu.ops.draw_pallas import (fused_draw_accumulate,
+                                              _pos_scale, _pad_dims)
+    h, w = 16, 8064
+    hp, wp = _pad_dims(h, w)
+    assert _pos_scale(hp, wp) <= 4
+    p0 = jnp.asarray([[100.0, 8.0], [8000.0, 8.0]])
+    p1 = p0 + jnp.asarray([[4.0, 0.0], [4.0, 0.0]])
+    vel = jnp.asarray([[0.004, 0.004], [0.0, 0.0]])
+    colors = jnp.ones((4, 2)) * 0.5
+    live = jnp.ones(2)
+    flow_parts, view_parts = fused_draw_accumulate(
+        (h, w), p0, p1, vel, colors, live, jnp.float32(0.01),
+        jnp.float32(16.0), samples=2)
+    wsum = np.asarray(flow_parts[1])
+    ys, xs = np.nonzero(wsum > 1e-5)
+    assert xs.size > 0
+    # Deposits near both segments (within quantization + bilinear reach).
+    assert np.abs(xs - 102).min() <= 4 or np.abs(xs - 8002).min() <= 4
+    assert np.abs(xs - 8002).min() <= 4
+    assert np.all(np.abs(ys - 8) <= 2)
+
+
+def test_inert_particles_do_not_deposit():
+    from tendrils_tpu.const import INERT
+    eng = make_engine(True)
+    # Kill half the particles.
+    import dataclasses
+    import jax.numpy as jnp2
+    n = eng.config.n
+    parts = eng.sim.particles
+    dead = jnp2.concatenate([
+        jnp2.full((2, n // 2), INERT), parts[:2, n // 2:]], axis=1)
+    parts = jnp2.concatenate([dead, parts[2:]], axis=0)
+    eng.sim = dataclasses.replace(eng.sim, particles=parts, previous=parts)
+    eng.clear()
+    eng.frame()
+    wsum = np.asarray(eng.sim.flow[3])
+    # Only the live half deposits; dead half (clamped to pad margin)
+    # contributes nothing.
+    assert wsum.sum() > 0
+    live_deposit = wsum.sum()
+    # Kill all -> zero deposits.
+    allp = jnp2.concatenate([jnp2.full((2, n), INERT),
+                             eng.sim.particles[2:]], axis=0)
+    eng.sim = dataclasses.replace(eng.sim, particles=allp, previous=allp)
+    eng.clear()
+    eng.frame()
+    assert np.asarray(eng.sim.flow[3]).sum() == 0
+    assert live_deposit > 0
+
+
+def test_gather_predecay_matches_exact_path():
+    # Engine pallas gather (decay-then-interp) vs xla (interp-then-decay):
+    # identical wherever the decay clamp is inactive; bounded everywhere.
+    from tendrils_tpu.engine import step_sim
+    outs = {}
+    for backend in ["xla", "pallas"]:
+        eng = make_engine(False, "xla")
+        cfg = dataclasses.replace(eng.config, gather_backend=backend)
+        eng.spawn_shader(lambda p, e: spawn.ball(p, e._frag_xy, 0.5, 0.01))
+        # Paint fresh flow (stamps = now -> decay factor ~1, clamp inactive).
+        eng.frame()
+        sim = step_sim(eng.sim, eng.params(), jnp.float32(32.0),
+                       jnp.float32(16.0), cfg, eng._view_size)
+        outs[backend] = np.asarray(sim.particles)
+    # Velocities are O(1e-4); the two evaluation orders agree to ~2e-5
+    # absolute (fp + quantization), far below the force scale.
+    np.testing.assert_allclose(outs["pallas"], outs["xla"], atol=5e-5)
