@@ -458,13 +458,23 @@ class Tendrils:
         equivalent of drawing FlowLine ribbons into the flow FBO
         (`demo.main.js:1107-1122`). `vel`: `f32[2, S]` velocities in the
         flow-payload convention."""
-        if np.shape(p0_pix)[0] == 0:
+        n = int(np.shape(p0_pix)[0])
+        if n == 0:
             return self
+        # Pad the segment count to a power-of-2 bucket so a growing pointer
+        # path doesn't recompile every frame (pad segments are zero-velocity
+        # -> zero payload weight -> no deposit).
+        bucket = 1 << max(4, (n - 1).bit_length())
+        pad = bucket - n
+        p0_pix = np.pad(np.asarray(p0_pix, np.float32), ((0, pad), (0, 0)))
+        p1_pix = np.pad(np.asarray(p1_pix, np.float32), ((0, pad), (0, 0)))
+        vel = np.pad(np.asarray(vel, np.float32), ((0, 0), (0, pad)))
+
         p = self.params()
         fh, fw = self.config.flow_shape
         time = jnp.float32(self.timer.time)
-        vel = jnp.asarray(vel, jnp.float32)
-        payload = flow_ops.flow_payload(vel, time, p["speedLimit"])
+        payload = flow_ops.flow_payload(jnp.asarray(vel), time,
+                                        p["speedLimit"])
         rows = max(1, self.config.flow_rows)
         new_flow = splat_ops.splat_segments(
             self.sim.flow, jnp.asarray(p0_pix), jnp.asarray(p1_pix),
