@@ -124,6 +124,7 @@ class TendrilsDemo:
         self.optical_flow = OpticalFlow({
             "speed": float(s.get("optical_speed", 0.08)),
             "offset": 0.1,
+            "scaleUV": [-1, -1],  # mirrored camera — ref demo.main.js:529
         })
         self.optical_flow_state = {
             "speed": self.optical_flow.uniforms["speed"],

@@ -60,12 +60,17 @@ class FlowLine:
 
     # -- painting
 
-    def flow_segments(self, time, view_size, flow_res):
+    def flow_segments(self, time, view_size, flow_res, crest_rows=5):
         """Segments + velocity payload to splat into the flow grid.
 
-        Returns `(p0_pix [S,2], p1_pix [S,2], vel [2,S], width_px)` — one
-        segment per consecutive path pair, velocities
-        `(pos - prev) * speed / max(dt, 1)` like `flow-line/index.vert:28-31`.
+        Returns `(p0_pix [S,2], p1_pix [S,2], vel [2,S], width_px)`.
+        Velocities are `(pos - prev) * speed / max(dt, 1)` like
+        `flow-line/index.vert:28-31`. The ribbon's crest shaping
+        (`flow-line/index.frag:10-17`: away from the centreline, speed falls
+        off `(1-d)`, the direction bends toward the crest normal by
+        `d·crestShape`, and alpha drops `-d`) is realised by expanding each
+        path segment into `crest_rows` parallel sub-segments with the
+        per-row payload transform (host-side; pointer paths are tiny).
         """
         h, w = flow_res
         if len(self.path) < 2:
@@ -76,7 +81,7 @@ class FlowLine:
         prev = pts[:-1]
         cur = pts[1:]
         dt = np.maximum(ts[1:] - ts[:-1], 1.0)
-        vel = (cur - prev) * self.uniforms["speed"] / dt[:, None]
+        vel = (cur - prev) * self.uniforms["speed"] / dt[:, None]  # [S, 2]
 
         vs = np.asarray(view_size, np.float32)
 
@@ -85,11 +90,42 @@ class FlowLine:
             return np.stack([(clip[:, 0] * 0.5 + 0.5) * w,
                              (clip[:, 1] * 0.5 + 0.5) * h], axis=-1)
 
-        # Ribbon width: rad is in NDC units (vertex expansion rad*values.a);
-        # approximate the payload-weighted radius with its full extent.
-        width_px = self.uniforms["rad"] * 0.5 * min(h, w)
-        return (to_pix(prev), to_pix(cur),
-                vel.T.astype(np.float32), float(width_px))
+        p0 = to_pix(prev)
+        p1 = to_pix(cur)
+
+        # Ribbon width: the vertex expansion is rad * payload weight
+        # (`flow-line/index.vert:35`); use the full extent.
+        rad_px = self.uniforms["rad"] * 0.5 * min(h, w)
+        rows = max(1, int(crest_rows))
+        if rows == 1:
+            return p0, p1, vel.T.astype(np.float32), float(rad_px)
+
+        # Per-row crest transform across the ribbon, d in (-1, 1).
+        d_seg = p1 - p0
+        seg_len = np.maximum(np.linalg.norm(d_seg, axis=-1, keepdims=True),
+                             1e-6)
+        normal = np.stack([-d_seg[:, 1], d_seg[:, 0]], axis=-1) / seg_len
+        crest_shape = self.uniforms["crestShape"]
+        speed = np.linalg.norm(vel, axis=-1, keepdims=True)
+        vel_dir = vel / np.maximum(speed, 1e-12)
+
+        p0s, p1s, vels = [], [], []
+        for r in range(rows):
+            d = (r - (rows - 1) / 2.0) / max((rows - 1) / 2.0, 1.0) * 0.999
+            off = normal * (d * rad_px)
+            # crest dir = ribbon normal on this side (vert `crest` varying).
+            crest_dir = normal * np.sign(d) if d != 0 else vel_dir
+            mixed = vel_dir + (crest_dir - vel_dir) * (abs(d) * crest_shape)
+            mixed /= np.maximum(np.linalg.norm(mixed, axis=-1,
+                                               keepdims=True), 1e-12)
+            row_vel = mixed * speed * (1.0 - abs(d))
+            p0s.append(p0 + off)
+            p1s.append(p1 + off)
+            vels.append(row_vel)
+        return (np.concatenate(p0s).astype(np.float32),
+                np.concatenate(p1s).astype(np.float32),
+                np.concatenate(vels).T.astype(np.float32),
+                float(max(rad_px / rows, 1.0)))
 
 
 class FlowLines:

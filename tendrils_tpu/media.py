@@ -39,7 +39,7 @@ class OpticalFlow:
     def __init__(self, uniforms=None):
         self.uniforms = dict({
             "offset": 1.0, "lambda": 0.001, "speed": 1.0,
-            "speedLimit": 1.0,
+            "speedLimit": 1.0, "scaleUV": [1, -1],
         }, **(uniforms or {}))
         self.buffers = [None, None]
 
@@ -52,6 +52,14 @@ class OpticalFlow:
                           and frame.shape[0] == 4)
                 else image_to_grid(frame))
         grid = jnp.asarray(grid, jnp.float32)
+        # scaleUV mirrors the lookup (`optical-flow/index.frag:56`,
+        # demo uses [-1, -1] for mirrored cameras) — realised as frame flips
+        # relative to the default [1, -1].
+        sx, sy = self.uniforms.get("scaleUV", [1, -1])
+        if sx < 0:
+            grid = grid[:, :, ::-1]
+        if sy > 0:
+            grid = grid[:, ::-1, :]
         if self.buffers[1] is None or self.buffers[1].shape != grid.shape:
             self.buffers[1] = jnp.zeros_like(grid)
         self.buffers[0] = grid

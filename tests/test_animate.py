@@ -162,3 +162,22 @@ class TestPlayer:
                           frame({"x": 2.0}, 99.0)]})
         p.seek(50.0)
         assert fired == []
+
+
+class TestTimelineModes:
+    def test_rewind_swaps_span(self):
+        tl = Timeline([frame({"x": 0.0}, 0.0, [0.0, 1.0]),
+                       frame({"x": 10.0}, 100.0, [0.0, 0.5, 1.0])],
+                      rewind=True)
+        span = tl.seek(25.0)
+        # rewind: past/next swapped; symmetric keeps the later frame's ease.
+        assert span["past"]["time"] == 100.0
+        assert span["next"]["time"] == 0.0
+        assert span["ease"] == [0.0, 0.5, 1.0]
+
+    def test_rewind_asymmetric_uses_past_ease(self):
+        tl = Timeline([frame({"x": 0.0}, 0.0, [0.0, 1.0]),
+                       frame({"x": 10.0}, 100.0, [0.0, 0.5, 1.0])],
+                      rewind=True, symmetric=False)
+        span = tl.seek(25.0)
+        assert span["ease"] == [0.0, 1.0]

@@ -121,11 +121,29 @@ class TestFlowLine:
         fl = FlowLine({"speed": 2.0})
         fl.add(0.0, (0.0, 0.0))
         fl.add(10.0, (0.1, 0.0))
-        p0, p1, vel, width = fl.flow_segments(10.0, (1.0, 1.0), (64, 64))
+        p0, p1, vel, width = fl.flow_segments(10.0, (1.0, 1.0), (64, 64),
+                                              crest_rows=1)
         assert p0.shape == (1, 2)
         # vel = (pos - prev) * speed / max(dt, 1) = 0.1*2/10
         assert vel[0, 0] == pytest.approx(0.02)
         assert width > 0
+
+    def test_crest_rows_shape_velocity(self):
+        # Ribbon rows: centre row keeps the full path velocity; outer rows
+        # slow down (1-d) and bend toward the crest normal —
+        # ref flow-line/index.frag:10-17.
+        fl = FlowLine({"speed": 2.0, "crestShape": 0.6})
+        fl.add(0.0, (0.0, 0.0))
+        fl.add(10.0, (0.1, 0.0))
+        p0, p1, vel, width = fl.flow_segments(10.0, (1.0, 1.0), (64, 64),
+                                              crest_rows=5)
+        assert p0.shape == (5, 2)
+        speeds = np.linalg.norm(vel, axis=0)
+        centre = 2  # middle row
+        assert speeds[centre] == pytest.approx(0.02, rel=1e-5)
+        assert (speeds[[0, -1]] < speeds[centre]).all()
+        # Outer rows gain a perpendicular (y) component.
+        assert abs(vel[1, 0]) > 0
 
     def test_trim_drops_old(self):
         fl = FlowLine()
