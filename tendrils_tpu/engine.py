@@ -463,8 +463,9 @@ class Tendrils:
             return self
         # Pad the segment count to a power-of-2 bucket so a growing pointer
         # path doesn't recompile every frame (pad segments are zero-velocity
-        # -> zero payload weight -> no deposit).
-        bucket = 1 << max(4, (n - 1).bit_length())
+        # -> zero payload weight -> no deposit). Floor of 256 keeps typical
+        # pointer paths (with crest-row expansion) to one compilation.
+        bucket = 1 << max(8, (n - 1).bit_length())
         pad = bucket - n
         p0_pix = np.pad(np.asarray(p0_pix, np.float32), ((0, pad), (0, 0)))
         p1_pix = np.pad(np.asarray(p1_pix, np.float32), ((0, pad), (0, 0)))
