@@ -54,19 +54,21 @@ def _run_scan(sim, params, cfg, view_size, t0, dt, steps):
     return run_headless(sim, params, cfg, view_size, t0, dt, steps)
 
 
-def _scan_steps(eng, steps, params=None):
-    """Run `steps` frames under lax.scan, return seconds per step (jit
-    cache keyed on (cfg, steps) — no per-call recompiles)."""
+def _scan_once(eng, steps, params=None, t0=0.0):
+    """One scan of `steps` frames; the caller times it (jit cache keyed on
+    (cfg, steps) — no per-call recompiles)."""
     params = params or eng.params()
     dt = 1000.0 / 60.0
-    sim = _run_scan(eng.sim, params, eng.config, eng._view_size,
-                    jnp.float32(0.0), dt, steps)
-    float(sim.particles[0, 0])  # force (block_until_ready lies on axon)
+    eng.sim = _run_scan(eng.sim, params, eng.config, eng._view_size,
+                        jnp.float32(t0), dt, steps)
+    float(eng.sim.particles[0, 0])  # force (block_until_ready lies on axon)
+
+
+def _scan_steps(eng, steps, params=None):
+    """Warm-up scan + timed scan, return seconds per step."""
+    _scan_once(eng, steps, params)
     t0 = time.time()
-    sim = _run_scan(sim, params, eng.config, eng._view_size,
-                    jnp.float32(steps * dt), dt, steps)
-    float(sim.particles[0, 0])
-    eng.sim = sim
+    _scan_once(eng, steps, params, t0=steps * 1000.0 / 60.0)
     return (time.time() - t0) / steps
 
 
@@ -118,12 +120,11 @@ def bench_all(on_tpu):
     per = 10 if on_tpu else 2
     # Warm-up compiles (spawn + scan variants).
     eng.spawn_shader(lambda p, e: sp.ball(p, e._frag_xy, 0.6, 0.01))
-    _scan_steps(eng, per)
+    _scan_once(eng, per)
     t0 = time.time()
     for _ in range(segs):
         eng.spawn_shader(lambda p, e: sp.ball(p, e._frag_xy, 0.6, 0.01))
-        _scan_steps(eng, per)
-    float(eng.sim.particles[0, 0])
+        _scan_once(eng, per)
     sec = (time.time() - t0) / (segs * per)
     _line("3:4M-respawn-stress", eng.config.n, sec,
           "4M, respawn every 10 steps")
@@ -154,23 +155,27 @@ def bench_all(on_tpu):
     _line("4:optical-flow-driven", eng.config.n, sec,
           "512² + camera optical flow")
 
-    # 5: live-show: 16M particles, 4K trail, audio-style modulation + bokeh.
+    # 5: live-show: 16M particles, 4K trail, audio-style modulation + bokeh
+    # run EVERY frame (the live-show config includes post).
     from tendrils_tpu.ops import post
     eng = _engine(4096 if on_tpu else 64, (2160, 3840), on_tpu)
     frames = 3 if on_tpu else 1
-    eng.frame()  # warm-up compile
-    float(eng.sim.particles[0, 0])
-    t0 = time.time()
-    for i in range(frames):
+    bokeh = jax.jit(post.bokeh)
+
+    def show_frame(i):
         eng.state["noiseScale"] = 2.0 + 0.5 * (i % 3)  # audio-style mod
         eng.frame()
-    bokeh = jax.jit(post.bokeh)
-    bokeh(eng.sim.view[0], jnp.float32(3.0), jnp.float32(40.0))  # warm-up
-    screen = bokeh(eng.sim.view[0], jnp.float32(3.0), jnp.float32(40.0))
+        return bokeh(eng.sim.view[0], jnp.float32(3.0), jnp.float32(40.0))
+
+    float(show_frame(0)[0, 0, 0])  # warm-up compiles (frame + bokeh)
+    t0 = time.time()
+    screen = None
+    for i in range(frames):
+        screen = show_frame(i + 1)
     float(screen[0, 0, 0])
     sec = (time.time() - t0) / frames
     _line("5:16M-4K-live-show", eng.config.n, sec,
-          "16M particles, 4K trail + bokeh")
+          "16M particles, 4K trail + bokeh/frame")
 
 
 def main():

@@ -47,9 +47,11 @@ def load_checkpoint(path, engine):
     cfg = meta["config"]
     if cfg["root_num"] != engine.config.root_num:
         engine.setup(cfg["root_num"])
-    if tuple(cfg["view_res"]) != tuple(engine.config.view_res):
-        engine.resize(tuple(cfg["view_res"]),
-                      tuple(cfg["flow_res"]) if cfg["flow_res"] else None)
+    ck_flow = tuple(cfg["flow_res"]) if cfg["flow_res"] else None
+    ck_flow_shape = ck_flow if ck_flow else tuple(cfg["view_res"])
+    if (tuple(cfg["view_res"]) != tuple(engine.config.view_res)
+            or ck_flow_shape != tuple(engine.config.flow_shape)):
+        engine.resize(tuple(cfg["view_res"]), ck_flow)
 
     kw = {f.name: jnp.asarray(data[f.name])
           for f in dataclasses.fields(SimState)}

@@ -394,20 +394,34 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, colors, live,
     return flow_parts, view_parts
 
 
+def _widen(parts, width):
+    """Apply a GL `lineWidth`-style widening to accumulated splat parts as a
+    traced-radius box blur scaled back up by the width — isotropic rather
+    than strictly perpendicular spread (documented deviation, see module
+    docstring); deposited mass scales ∝ width like a wider rasterised line."""
+    num, wsum, logt = parts
+    width = jnp.maximum(width, 1.0)
+    radius = (width - 1.0) * 0.5
+    stack = jnp.concatenate([num, wsum[None], logt[None]])
+    # Runtime branch: width == 1 (the default lineWidth) skips the blur's
+    # cumsum passes entirely.
+    stack = jax.lax.cond(
+        radius > 0.0,
+        lambda s: _box_blur_traced(s, radius) * width,
+        lambda s: s, stack)
+    return stack[:-2], stack[-2], stack[-1]
+
+
 def fused_draw(flow, view, p0_pix, p1_pix, vel, colors, live, params, time,
                *, grid_hw, samples=2, interpret=None, presort=True):
-    """Full fused draw: accumulate, widen the flow deposit to `flowWidth`,
-    resolve both blends. Returns (new_flow, new_view)."""
+    """Full fused draw: accumulate, widen the flow deposit to `flowWidth` and
+    the view deposit to `lineWidth` (ref `src/index.js:302,336` set
+    `gl.lineWidth` per pass), resolve both blends.
+    Returns (new_flow, new_view)."""
     flow_parts, view_parts = fused_draw_accumulate(
         grid_hw, p0_pix, p1_pix, vel, colors, live, params["speedLimit"],
         time, samples=samples, interpret=interpret, presort=presort)
 
-    fnum, fwsum, flogt = flow_parts
-    width = jnp.maximum(params["flowWidth"], 1.0)
-    radius = (width - 1.0) * 0.5
-    stack = jnp.concatenate([fnum, fwsum[None], flogt[None]])
-    stack = _box_blur_traced(stack, radius) * width
-    new_flow = composite_over(flow, stack[0:4], stack[4], stack[5])
-
-    new_view = composite_over(view, *view_parts)
+    new_flow = composite_over(flow, *_widen(flow_parts, params["flowWidth"]))
+    new_view = composite_over(view, *_widen(view_parts, params["lineWidth"]))
     return new_flow, new_view

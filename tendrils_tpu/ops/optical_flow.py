@@ -79,8 +79,10 @@ def optical_flow(view, last, time, offset=0.1, lambda_=0.001, speed=1.0,
     vy = diff * grad_y / grad_mag * speed
 
     # bezier((0,0,1), t) = t² falloff — ref index.frag:80 + utils/bezier.glsl.
+    # The reference's t is unclamped: motion faster than speedLimit
+    # extrapolates t² > 1 (the payload's weight clamps later).
     mag = jnp.sqrt(vx * vx + vy * vy)
-    t = jnp.clip(mag / speed_limit, 0.0, 1.0)
+    t = mag / jnp.maximum(speed_limit, 1e-12)
     fall = t * t
     vel = jnp.stack([vx * fall, vy * fall])
 

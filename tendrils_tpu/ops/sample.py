@@ -7,9 +7,9 @@ The reference leans on the GL sampler for: flow-force lookup
 -major so the big H*W extent sits on TPU lanes) and sampling is a gather +
 bilinear interpolation, `CLAMP_TO_EDGE` semantics.
 
-The XLA gather path below is the portable baseline; the fused Pallas particle
-step (see `ops/fused.py`) re-implements the same math in-kernel for the hot
-loop.
+The XLA gather path below is the portable baseline; the Pallas tile-matmul
+gather (`ops/gather_pallas.py`) re-implements the same math in-kernel for the
+hot loop.
 """
 
 import jax.numpy as jnp

@@ -77,6 +77,61 @@ def test_fused_width_blur_spreads_flow():
     assert (wide > 1e-4).sum() > (narrow > 1e-4).sum()
 
 
+def test_fused_line_width_widens_view():
+    # lineWidth applies to the view pass in the fused path (ref
+    # `src/index.js:336` sets gl.lineWidth(state.lineWidth); keyMash 'M').
+    def view_alpha(width):
+        eng = make_engine(True)
+        eng.state["lineWidth"] = width
+        eng.state["autoFade"] = False
+        eng.frame()
+        return np.asarray(eng.sim.view)[0, 3]
+
+    narrow = view_alpha(1.0)
+    wide = view_alpha(3.0)
+    # Wider strokes cover more pixels and deposit ~width-scaled mass.
+    assert (wide > 1e-4).sum() > 1.5 * (narrow > 1e-4).sum()
+    assert 2.0 < wide.sum() / narrow.sum() < 4.5
+
+
+def test_fused_line_width_spread_matches_generic_rows():
+    # Fused (isotropic blur) vs generic (perpendicular rows) at lineWidth=3:
+    # same deposited mass scaling and similar spatial spread (second moment),
+    # not pixel-exact (documented deviation).
+    import jax.numpy as jnp2
+
+    def moments(img):
+        ys, xs = np.mgrid[:img.shape[0], :img.shape[1]]
+        m = img.sum()
+        cy = (ys * img).sum() / m
+        cx = (xs * img).sum() / m
+        var = (((ys - cy) ** 2 + (xs - cx) ** 2) * img).sum() / m
+        return m, var
+
+    eng = make_engine(True)
+    eng.state["lineWidth"] = 3.0
+    eng.state["autoFade"] = False
+    eng.frame()
+    fused = np.asarray(eng.sim.view)[0, 3]
+
+    cfg = EngineConfig(root_num=16, view_res=(32, 128), flow_samples=2,
+                       flow_rows=1, view_samples=2, view_rows=3,
+                       splat_backend="pallas", fused_draw=False)
+    eng2 = Tendrils(cfg)
+    eng2.setup()
+    eng2.state["flowWidth"] = 1.0
+    eng2.state["lineWidth"] = 3.0
+    eng2.state["autoFade"] = False
+    eng2.spawn_shader(lambda p, e: spawn.ball(p, e._frag_xy, 0.6, 0.01))
+    eng2.frame()
+    generic = np.asarray(eng2.sim.view)[0, 3]
+
+    mf, vf = moments(fused)
+    mg, vg = moments(generic)
+    assert 0.5 < mf / mg < 2.0
+    assert 0.5 < vf / vg < 2.0
+
+
 def test_fused_engine_runs_multiframe():
     eng = make_engine(True)
     for _ in range(3):
