@@ -101,36 +101,49 @@ def flow_pyramid(flow_grid, levels):
     return grids
 
 
-def resort_sim(sim: state_mod.SimState, cfg: EngineConfig, view_size):
+def resort_sim(sim: state_mod.SimState, cfg: EngineConfig, view_size,
+               params=None):
     """Reorder the particle rows by flow-grid tile of their position.
 
     Keeps blocks of consecutive rows spatially clustered so the Pallas
     kernels' distinct-tile loops stay short without per-frame sorting.
-    Carries the full per-particle state (current, previous, targets, idx) —
-    lossless, deterministic."""
+
+    Runs at frame START (before the step): `sim.previous` was consumed by
+    the previous frame's draw and is overwritten by the coming step, so it
+    does not ride the sort — only (particles, targets, idx) do, and
+    `previous` is re-paired to the sorted particles (a zero-length segment
+    until the step replaces it). Lossless, deterministic."""
     from .ops import tile_geom as dp
+    from .ops.draw_pallas import KMAX_WIDTH
     fh, fw = cfg.flow_shape
     hp, wp = dp.pad_dims(fh, fw)
     pos = sim.particles[:2]
-    # Exactly the fused kernel's padded tile key, so freshly-resorted blocks
-    # bin like fully-sorted samples.
+    # Exactly the fused draw kernel's padded tile key — including its
+    # line-width footprint-top shift — so freshly-resorted blocks bin like
+    # fully-sorted samples.
+    hwm = jnp.float32(0.5)
+    if params is not None:
+        hwm = jnp.maximum(jnp.clip(params["flowWidth"], 1.0, KMAX_WIDTH),
+                          jnp.clip(params["lineWidth"], 1.0,
+                                   KMAX_WIDTH)) * 0.5
     x = jnp.clip((pos[0] * view_size[0] * 0.5 + 0.5) * fw + dp.PAD_LO_W,
                  1.0, dp.PAD_LO_W + fw + 1.0)
     y = jnp.clip((pos[1] * view_size[1] * 0.5 + 0.5) * fh + dp.PAD_LO_H,
                  1.0, dp.PAD_LO_H + fh + 1.0)
-    key = ((jnp.floor(y - 0.5).astype(jnp.int32) // dp.TILE_H)
-           * (wp // dp.TILE_W)
-           + (jnp.floor(x - 0.5).astype(jnp.int32) // dp.TILE_W))
+    key = ((jnp.maximum(jnp.floor(y - hwm), 0.0).astype(jnp.int32)
+            // dp.TILE_H) * (wp // dp.TILE_W)
+           + (jnp.maximum(jnp.floor(x - hwm), 0.0).astype(jnp.int32)
+              // dp.TILE_W))
     ops = jax.lax.sort(
         [key] + [sim.particles[i] for i in range(4)]
-        + [sim.previous[i] for i in range(4)]
         + [sim.targets[i] for i in range(4)] + [sim.idx], num_keys=1)
+    particles = jnp.stack(ops[1:5])
     return dataclasses.replace(
         sim,
-        particles=jnp.stack(ops[1:5]),
-        previous=jnp.stack(ops[5:9]),
-        targets=jnp.stack(ops[9:13]),
-        idx=ops[13])
+        particles=particles,
+        previous=particles,
+        targets=jnp.stack(ops[5:9]),
+        idx=ops[9])
 
 
 def step_sim(sim: state_mod.SimState, params, time, dt, cfg: EngineConfig,
@@ -317,10 +330,15 @@ class Tendrils:
     def _frag_xy(self):
         return self._uv * self.config.root_num  # texel-centre frag coords
 
-    def _maybe_resort(self):
+    def _tick_resort(self):
+        """Whether this frame starts with a resident resort (static jit arg
+        — a `lax.cond` here would copy every sim buffer on the skip branch,
+        so the schedule is decided host-side and baked into two jit
+        variants)."""
         k = self.config.resident_sort
-        if k > 0 and self._frame_idx % k == 0:
-            self.sim = _resort_jit(self.sim, self.config, self._view_size)
+        resort = k > 0 and (self._frame_idx % k == 0)
+        self._frame_idx += 1
+        return resort
 
     def setup(self, root_num: int | None = None):
         """(Re)allocate particle + grid state — ref `src/index.js:149-154`."""
@@ -375,12 +393,10 @@ class Tendrils:
     def step(self):
         """Ref `src/index.js:248-272` (honours timer pause)."""
         if not self.timer.paused:
-            self._maybe_resort()
-            self._frame_idx += 1
             self.sim = _step_jit(self.sim, self.params(),
                                  jnp.float32(self.timer.time),
                                  jnp.float32(self.timer.dt), self.config,
-                                 self._view_size)
+                                 self._view_size, resort=self._tick_resort())
         return self
 
     def draw(self):
@@ -396,12 +412,10 @@ class Tendrils:
         dispatch latency on remote devices."""
         if self.timer.paused:
             return self.draw()
-        self._maybe_resort()
-        self._frame_idx += 1
         self.sim = _frame_jit(self.sim, self.params(),
                               jnp.float32(self.timer.time),
                               jnp.float32(self.timer.dt), self.config,
-                              self._view_size)
+                              self._view_size, resort=self._tick_resort())
         return self
 
     def frame(self):
@@ -409,12 +423,10 @@ class Tendrils:
         self.timer.tick()
         if self.timer.paused:
             return self.draw()
-        self._maybe_resort()
-        self._frame_idx += 1
         self.sim = _frame_jit(self.sim, self.params(),
                               jnp.float32(self.timer.time),
                               jnp.float32(self.timer.dt), self.config,
-                              self._view_size)
+                              self._view_size, resort=self._tick_resort())
         return self
 
     # -- spawning
@@ -427,6 +439,7 @@ class Tendrils:
         particles = fn(self.sim.particles)
         self.sim = dataclasses.replace(self.sim, particles=particles,
                                        previous=particles)
+        self._frame_idx = 0  # respawn scatters rows; resort next frame
         return self
 
     def spawn_shader(self, op, target=None):
@@ -443,6 +456,7 @@ class Tendrils:
             new = op(self.sim.particles, self)
             self.sim = dataclasses.replace(self.sim, particles=new,
                                            previous=self.sim.particles)
+            self._frame_idx = 0  # respawn scatters rows; resort next frame
         elif target == "targets":
             new = op(self.sim.previous, self)
             self.sim = dataclasses.replace(self.sim, targets=new)
@@ -568,8 +582,11 @@ class Tendrils:
 # --- jitted cores -----------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def _step_jit(sim, params, time, dt, cfg, view_size):
+@functools.partial(jax.jit, static_argnames=("cfg", "resort"),
+                   donate_argnums=(0,))
+def _step_jit(sim, params, time, dt, cfg, view_size, resort=False):
+    if resort:
+        sim = resort_sim(sim, cfg, view_size, params)
     return step_sim(sim, params, time, dt, cfg, view_size)
 
 
@@ -583,8 +600,11 @@ def _resort_jit(sim, cfg, view_size):
     return resort_sim(sim, cfg, view_size)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def _frame_jit(sim, params, time, dt, cfg, view_size):
+@functools.partial(jax.jit, static_argnames=("cfg", "resort"),
+                   donate_argnums=(0,))
+def _frame_jit(sim, params, time, dt, cfg, view_size, resort=False):
+    if resort:
+        sim = resort_sim(sim, cfg, view_size, params)
     sim = step_sim(sim, params, time, dt, cfg, view_size)
     return draw_sim(sim, params, time, cfg, view_size)
 
@@ -596,17 +616,34 @@ def run_headless(sim, params, cfg: EngineConfig, view_size, t0, dt, steps):
     functional update); resident resorting (if configured) runs via
     `lax.cond` on the frame counter. Returns the final state.
     """
-    k = cfg.resident_sort
-
     def body(sim, i):
-        if k > 0:
-            sim = jax.lax.cond(jnp.mod(i.astype(jnp.int32), k) == 0,
-                               lambda s: resort_sim(s, cfg, view_size),
-                               lambda s: s, sim)
         time = t0 + dt * (i + 1)
         sim = step_sim(sim, params, time, dt, cfg, view_size)
         sim = draw_sim(sim, params, time, cfg, view_size)
         return sim, ()
 
-    sim, _ = jax.lax.scan(body, sim, jnp.arange(steps, dtype=jnp.float32))
+    k = cfg.resident_sort
+    if k <= 0:
+        sim, _ = jax.lax.scan(body, sim,
+                              jnp.arange(steps, dtype=jnp.float32))
+        return sim
+
+    # Static resort schedule: a scan of chunks, each = resort + k frames
+    # (a lax.cond would copy every sim buffer on its skip branch).
+    def chunk(sim, c):
+        sim = resort_sim(sim, cfg, view_size, params)
+        sim, _ = jax.lax.scan(
+            lambda s, j: body(s, c * k + j), sim,
+            jnp.arange(k, dtype=jnp.float32))
+        return sim, ()
+
+    chunks, rem = divmod(steps, k)
+    if chunks:
+        sim, _ = jax.lax.scan(chunk, sim,
+                              jnp.arange(chunks, dtype=jnp.float32))
+    if rem:
+        sim = resort_sim(sim, cfg, view_size, params)
+        sim, _ = jax.lax.scan(
+            lambda s, j: body(s, chunks * k + j), sim,
+            jnp.arange(rem, dtype=jnp.float32))
     return sim

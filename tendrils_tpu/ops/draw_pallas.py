@@ -14,11 +14,16 @@ fixed-point pairs packed two-per-int32 (positions at 1/8 px, velocities over
 unpacks and derives everything else (bilinear corners/weights, flow alpha,
 log-transmittances) on the VPU.
 
-Line width: the flow pass's `lineWidth(flowWidth)` (`src/index.js:302`) is
-applied after accumulation as a traced-radius box blur of the flow channels
-scaled back up by the width — isotropic rather than strictly perpendicular
+Line width: the reference sets `gl.lineWidth` per pass (`flowWidth` for the
+flow pass, `lineWidth` for the view pass — `src/index.js:302,336`). Here each
+sample deposits a separable box footprint of the pass's width instead of a
+bilinear tent: the tile-visit matmul's row/col weight matrices hold
+box-overlap coverage (a width-1 box IS the bilinear tent), so widening is
+free — no post-blur pass. Isotropic rather than strictly perpendicular
 spread (documented deviation; the flow field is sampled smoothly anyway,
-ref's own mipmap intent `src/index.js:305-312`).
+ref's own mipmap intent `src/index.js:305-312`). Widths beyond
+`KMAX_WIDTH` (the region margin budget) fall back to a variance-matched
+post box-blur of the excess.
 """
 
 import functools
@@ -36,13 +41,25 @@ from .tile_geom import (PAD_LO_H, PAD_LO_W, REGION_H, REGION_W, TILE_H,
 # backend's 8x128, and the bf16 MXU eats the 2.25x-bigger matmul. Block of
 # 4096 samples halves block-boundary revisits.
 BLOCK = 4096
+# Windowed matmuls: each tile visit only multiplies the 512-sample windows
+# whose [min, max] key range covers the tile (pl.when-gated). Sorted blocks
+# do ~2-5 window matmuls per visit instead of one full-block matmul (~4x
+# less MXU+build work); merely *clustered* blocks (resident-sorted particles
+# that have drifted for a few frames) stop paying a full-block matmul per
+# extra tile their strays touch.
+WIN = 512
+N_WIN = BLOCK // WIN
 # Accumulated channels: flow (vx·α, vy·α, wf·α, α, log(1-α)) + view
 # (r·α, g·α, b·α, a·α, α, log(1-α)). The flow stamp channel is derived at
 # resolve time (stamp ≡ current time for every sample ⇒ num_stamp =
 # time · wsum), saving a channel.
 N_CHAN = 11
+N_FLOW = 5  # flow channels (vx·α, vy·α, wf·α, α, log(1-α)) lead the stack
 HALF = 32767  # 15-bit field max
 COLOR_MAX = 4.0  # colour channels clamp range for fixed-point
+# Max in-kernel line width: a sample keyed by its footprint's top-left can
+# deposit rows [0, 15 + width) of its region — REGION_H=24 budgets width<=8.
+KMAX_WIDTH = 8.0
 
 
 def _pos_scale(hp, wp):
@@ -69,26 +86,35 @@ def _q15(v, lo, hi):
 def _kernel(scal_ref, key_ref, pos_ref, vel_ref, rgba_ref, as_ref,
             accum_ref, out_ref, region, sem_in, sem_out, *, tiles_x,
             pscale):
-    """scal: f32[1, 2] SMEM (speedLimit, time)."""
+    """scal: f32[1, 4] SMEM (speedLimit, time, flowWidth, lineWidth).
+
+    Each sample deposits a separable box footprint (per-pass width) via the
+    tile-visit matmul: row/col weight matrices hold box-pixel overlap
+    coverage. Samples are keyed by their max-width footprint's top-left
+    tile, so every deposit row/col lands inside the [REGION_H, REGION_W]
+    region downstream of the key tile's origin."""
     del accum_ref
     speed_limit = scal_ref[0, 0]
+    width_f = jnp.clip(scal_ref[0, 2], 1.0, KMAX_WIDTH)
+    width_v = jnp.clip(scal_ref[0, 3], 1.0, KMAX_WIDTH)
+    hw_f = width_f * 0.5
+    hw_v = width_v * 0.5
+    inv_wf = 1.0 / width_f  # row-axis normalisation: total mass ∝ width
+    inv_wv = 1.0 / width_v
 
     key = key_ref[:]
     t_hi = jnp.max(key)  # works sorted or merely clustered
 
-    # Hoisted per-block unpack + derivations (VPU, once per 2048 samples).
+    # Hoisted per-block unpack + derivations (VPU, once per block).
     pos = pos_ref[:]
     xq = pos & HALF
     yq = pos >> 15
     inv_p = 1.0 / pscale
+    # Continuous pixel-centre coords: footprint on axis u covers
+    # [gu + 0.5 - hw, gu + 0.5 + hw]; pixel i's coverage is the overlap
+    # with [i, i+1] (a width-1 box IS the bilinear tent).
     gx = xq.astype(jnp.float32) * inv_p - 0.5
     gy = yq.astype(jnp.float32) * inv_p - 0.5
-    c0 = jnp.floor(gx)
-    r0 = jnp.floor(gy)
-    wx0 = 1.0 - (gx - c0)
-    wy0 = 1.0 - (gy - r0)
-    r0i = r0.astype(jnp.int32)
-    c0i = c0.astype(jnp.int32)
 
     def unq(q, lo, hi):
         return q.astype(jnp.float32) * ((hi - lo) / HALF) + lo
@@ -114,6 +140,10 @@ def _kernel(scal_ref, key_ref, pos_ref, vel_ref, rgba_ref, as_ref,
     chan = [vx * af, vy * af, wf * af, af, jnp.log1p(-af),
             cr * av, cg * av, cb * av, ca * av, av, jnp.log1p(-av)]
 
+    # Per-window key ranges for the pl.when gates (hoisted scalars).
+    wlo = [jnp.min(key[w * WIN:(w + 1) * WIN]) for w in range(N_WIN)]
+    whi = [jnp.max(key[w * WIN:(w + 1) * WIN]) for w in range(N_WIN)]
+
     def tile_step(t):
         ty = t // tiles_x
         tx = t - ty * tiles_x
@@ -124,33 +154,47 @@ def _kernel(scal_ref, key_ref, pos_ref, vel_ref, rgba_ref, as_ref,
             out_ref.at[:, pl.ds(row0, REGION_H), pl.ds(col0, REGION_W)],
             region, sem_in)
         load.start()
-
-        live = (key == t).astype(jnp.float32)
-        lr = r0i - row0
-        lc = c0i - col0
-
-        # A/X in bf16: channel magnitudes are O(1) (velocities pre-divided by
-        # speedLimit would be, colours <= 4, alphas <= 1, logs <= ~9), so the
-        # ~0.4% rounding is far below the splat's own quantisation; the MXU
-        # runs bf16 x bf16 -> f32 at full rate vs multi-pass f32.
-        rows = jax.lax.broadcasted_iota(jnp.int32, (REGION_H, BLOCK), 0)
-        a_r0 = (rows == lr[None, :]).astype(jnp.float32) * (wy0 * live)[None]
-        a_r1 = (rows == (lr + 1)[None, :]).astype(jnp.float32) * (
-            (1.0 - wy0) * live)[None]
-        a_mat = jnp.concatenate(
-            [a_r0 * chan[ch][None, :] + a_r1 * chan[ch][None, :]
-             for ch in range(N_CHAN)], axis=0).astype(jnp.bfloat16)
-
-        cols = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, REGION_W), 1)
-        x_mat = ((cols == lc[:, None]).astype(jnp.float32) * wx0[:, None]
-                 + (cols == (lc + 1)[:, None]).astype(jnp.float32)
-                 * (1.0 - wx0)[:, None]).astype(jnp.bfloat16)
-
-        contrib = jnp.dot(a_mat, x_mat, preferred_element_type=jnp.float32)
-        contrib = contrib.reshape(N_CHAN, REGION_H, REGION_W)
-
         load.wait()
-        region[:] = region[:] + contrib
+
+        for w in range(N_WIN):
+            @pl.when((wlo[w] <= t) & (whi[w] >= t))
+            def _(w=w):
+                sl = slice(w * WIN, (w + 1) * WIN)
+                live = (key[sl] == t).astype(jnp.float32)
+                gyl = gy[sl] - row0  # continuous, region-relative
+                gxl = gx[sl] - col0
+
+                # Box-overlap weight builds. A/X in bf16: channel magnitudes
+                # are O(1) (colours <= 4, alphas <= 1, logs <= ~9, coverage
+                # <= 1), so the ~0.4% rounding is far below the splat's own
+                # quantisation; the MXU runs bf16 x bf16 -> f32 at full rate.
+                rows = jax.lax.broadcasted_iota(
+                    jnp.int32, (REGION_H, WIN), 0).astype(jnp.float32)
+                cols = jax.lax.broadcasted_iota(
+                    jnp.int32, (WIN, REGION_W), 1).astype(jnp.float32)
+
+                def cover(idx, centre, hw):
+                    lo = centre + (0.5 - hw)
+                    hi = centre + (0.5 + hw)
+                    return jnp.clip(jnp.minimum(idx + 1.0, hi)
+                                    - jnp.maximum(idx, lo), 0.0, 1.0)
+
+                def group(ch_lo, ch_hi, hw, inv_w, reg_lo, reg_hi):
+                    a_rows = cover(rows, gyl[None, :], hw) \
+                        * (live * inv_w)[None, :]
+                    a_mat = jnp.concatenate(
+                        [a_rows * chan[ch][sl][None, :]
+                         for ch in range(ch_lo, ch_hi)],
+                        axis=0).astype(jnp.bfloat16)
+                    x_mat = cover(cols, gxl[:, None],
+                                  hw).astype(jnp.bfloat16)
+                    contrib = jnp.dot(a_mat, x_mat,
+                                      preferred_element_type=jnp.float32)
+                    region[reg_lo:reg_hi] = region[reg_lo:reg_hi] \
+                        + contrib.reshape(ch_hi - ch_lo, REGION_H, REGION_W)
+
+                group(0, N_FLOW, hw_f, inv_wf, 0, N_FLOW)
+                group(N_FLOW, N_CHAN, hw_v, inv_wv, N_FLOW, N_CHAN)
 
         store = pltpu.make_async_copy(
             region,
@@ -239,8 +283,13 @@ def _expand_kernel(scal_ref, p0_ref, p1_ref, vl_ref, rgba_ref,
                    samples, tiles_x, pscale, h, w):
     """Sorted packed segments -> per-sample splat operands. Each grid block
     maps SEG segments -> SEG*samples samples ([all s=0 | all s=1 | ...] —
-    order is irrelevant, samples of one block stay clustered)."""
-    del scal_ref
+    order is irrelevant, samples of one block stay clustered).
+
+    Samples are keyed by the top-left of their widest (flow vs view line
+    width) box footprint so the splat kernel's region, which starts at the
+    key tile's origin, contains every deposit row/col (see _kernel)."""
+    hwm = jnp.maximum(jnp.clip(scal_ref[0, 2], 1.0, KMAX_WIDTH),
+                      jnp.clip(scal_ref[0, 3], 1.0, KMAX_WIDTH)) * 0.5
     inv_p = 1.0 / pscale
 
     p0 = p0_ref[:]
@@ -270,8 +319,12 @@ def _expand_kernel(scal_ref, p0_ref, p1_ref, vl_ref, rgba_ref,
         yq = jnp.round(yp * pscale).astype(jnp.int32)
         gxq = xq.astype(jnp.float32) * inv_p - 0.5
         gyq = yq.astype(jnp.float32) * inv_p - 0.5
-        key = ((jnp.floor(gyq).astype(jnp.int32) // TILE_H) * tiles_x
-               + (jnp.floor(gxq).astype(jnp.int32) // TILE_W))
+        # Footprint top-left (clamped into the padded grid so weightless
+        # clamped/pad samples still key a legal tile).
+        top_x = jnp.maximum(gxq + 0.5 - hwm, 0.0)
+        top_y = jnp.maximum(gyq + 0.5 - hwm, 0.0)
+        key = ((jnp.floor(top_y).astype(jnp.int32) // TILE_H) * tiles_x
+               + (jnp.floor(top_x).astype(jnp.int32) // TILE_W))
 
         sl_out = pl.ds(s * seg, seg)
         key_ref[sl_out] = key
@@ -285,13 +338,14 @@ def _expand_kernel(scal_ref, p0_ref, p1_ref, vl_ref, rgba_ref,
                                              "interpret", "presort"))
 def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, colors, live,
                           speed_limit, time, *, samples=2, interpret=None,
-                          presort=True):
+                          presort=True, flow_width=1.0, line_width=1.0):
     """Accumulate both passes' splats.
 
     `p0_pix`/`p1_pix`: `f32[N, 2]` segment endpoints (window px of the shared
     flow/view grid); `vel`: `f32[2, N]`; `colors`: `f32[4, N]` render RGBA;
-    `live`: `f32[N]` alive mask. Returns (flow_parts, view_parts) each
-    `(num [4,H,W], wsum [H,W], logt [H,W])`.
+    `live`: `f32[N]` alive mask; `flow_width`/`line_width`: per-pass GL line
+    widths, applied in-kernel up to KMAX_WIDTH (traced). Returns
+    (flow_parts, view_parts) each `(num [4,H,W], wsum [H,W], logt [H,W])`.
     `interpret=None` auto-selects interpreter mode off-TPU.
     """
     if interpret is None:
@@ -316,7 +370,9 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, colors, live,
         live = jnp.pad(live, (0, pad))
     m_pad = n_pad * samples
 
-    scal = jnp.asarray([[speed_limit, time]], jnp.float32)
+    scal = jnp.stack([jnp.float32(speed_limit), jnp.float32(time),
+                      jnp.float32(flow_width),
+                      jnp.float32(line_width)])[None]
     i32 = jnp.int32
 
     # Pass 1: pack segment attributes (+ midpoint tile key).
@@ -326,7 +382,7 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, colors, live,
         functools.partial(_pack_kernel, tiles_x=tiles_x, pscale=pscale,
                           h=h, w=w),
         grid=(n_pad // seg_block,),
-        in_specs=([pl.BlockSpec((1, 2), lambda b: (0, 0),
+        in_specs=([pl.BlockSpec((1, 4), lambda b: (0, 0),
                                 memory_space=pltpu.SMEM)]
                   + [segspec] * 11),
         out_specs=[segspec] * 5,
@@ -346,7 +402,7 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, colors, live,
         functools.partial(_expand_kernel, samples=samples, tiles_x=tiles_x,
                           pscale=pscale, h=h, w=w),
         grid=(n_pad // seg_block,),
-        in_specs=([pl.BlockSpec((1, 2), lambda b: (0, 0),
+        in_specs=([pl.BlockSpec((1, 4), lambda b: (0, 0),
                                 memory_space=pltpu.SMEM)]
                   + [segspec] * 4),
         out_specs=[out_spec] * 5,
@@ -368,7 +424,7 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, colors, live,
     out = pl.pallas_call(
         functools.partial(_kernel, tiles_x=tiles_x, pscale=pscale),
         grid=(m_pad // BLOCK,),
-        in_specs=([pl.BlockSpec((1, 2), lambda b: (0, 0),
+        in_specs=([pl.BlockSpec((1, 4), lambda b: (0, 0),
                                 memory_space=pltpu.SMEM)]
                   + [blocked] * 5
                   + [pl.BlockSpec(memory_space=pl.ANY)]),
@@ -394,34 +450,38 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, colors, live,
     return flow_parts, view_parts
 
 
-def _widen(parts, width):
-    """Apply a GL `lineWidth`-style widening to accumulated splat parts as a
-    traced-radius box blur scaled back up by the width — isotropic rather
-    than strictly perpendicular spread (documented deviation, see module
-    docstring); deposited mass scales ∝ width like a wider rasterised line."""
+def _widen_excess(parts, width):
+    """Widths <= KMAX_WIDTH are fully applied in-kernel (box footprints) —
+    this is then the identity. Wider strokes get the excess as a
+    variance-matched box blur of the accumulation (runtime-branched, so the
+    common case pays nothing)."""
     num, wsum, logt = parts
     width = jnp.maximum(width, 1.0)
-    radius = (width - 1.0) * 0.5
+    w_in = jnp.minimum(width, KMAX_WIDTH)  # applied in-kernel
+    rem = jnp.sqrt(jnp.maximum(width * width - w_in * w_in, 0.0))
+    radius = jnp.maximum((rem - 1.0) * 0.5, 0.0)
+    scale = width / w_in  # in-kernel mass was ∝ w_in; total must be ∝ width
     stack = jnp.concatenate([num, wsum[None], logt[None]])
-    # Runtime branch: width == 1 (the default lineWidth) skips the blur's
-    # cumsum passes entirely.
     stack = jax.lax.cond(
-        radius > 0.0,
-        lambda s: _box_blur_traced(s, radius) * width,
-        lambda s: s, stack)
+        radius >= 0.5,
+        lambda s: _box_blur_traced(s, radius),
+        lambda s: s, stack) * scale
     return stack[:-2], stack[-2], stack[-1]
 
 
 def fused_draw(flow, view, p0_pix, p1_pix, vel, colors, live, params, time,
                *, grid_hw, samples=2, interpret=None, presort=True):
-    """Full fused draw: accumulate, widen the flow deposit to `flowWidth` and
-    the view deposit to `lineWidth` (ref `src/index.js:302,336` set
-    `gl.lineWidth` per pass), resolve both blends.
-    Returns (new_flow, new_view)."""
+    """Full fused draw: accumulate with in-kernel per-pass line widths
+    (`flowWidth` for the flow deposit, `lineWidth` for the view deposit —
+    ref `src/index.js:302,336` set `gl.lineWidth` per pass), resolve both
+    blends. Returns (new_flow, new_view)."""
     flow_parts, view_parts = fused_draw_accumulate(
         grid_hw, p0_pix, p1_pix, vel, colors, live, params["speedLimit"],
-        time, samples=samples, interpret=interpret, presort=presort)
+        time, samples=samples, interpret=interpret, presort=presort,
+        flow_width=params["flowWidth"], line_width=params["lineWidth"])
 
-    new_flow = composite_over(flow, *_widen(flow_parts, params["flowWidth"]))
-    new_view = composite_over(view, *_widen(view_parts, params["lineWidth"]))
+    new_flow = composite_over(
+        flow, *_widen_excess(flow_parts, params["flowWidth"]))
+    new_view = composite_over(
+        view, *_widen_excess(view_parts, params["lineWidth"]))
     return new_flow, new_view

@@ -33,6 +33,11 @@ from .tile_geom import (PAD_LO_H, PAD_LO_W, REGION_H, REGION_W, TILE_H,
                         TILE_W, pad_dims as _pad_dims)
 
 BLOCK = 4096
+# Windowed matmuls (see draw_pallas): per tile visit, only the 512-sample
+# windows whose key range covers the tile are multiplied (pl.when-gated), so
+# clustered-not-sorted blocks don't pay a full-block matmul per stray tile.
+WIN = 512
+N_WIN = BLOCK // WIN
 
 
 def _kernel(key_ref, x_ref, y_ref, grid_ref, out_ref, region, sems, *,
@@ -58,6 +63,10 @@ def _kernel(key_ref, x_ref, y_ref, grid_ref, out_ref, region, sems, *,
 
     out_ref[:] = jnp.zeros_like(out_ref)
 
+    # Per-window key ranges for the pl.when gates (hoisted scalars).
+    wlo = [jnp.min(key[w * WIN:(w + 1) * WIN]) for w in range(N_WIN)]
+    whi = [jnp.max(key[w * WIN:(w + 1) * WIN]) for w in range(N_WIN)]
+
     def tile_step(t):
         ty = t // tiles_x
         tx = t - ty * tiles_x
@@ -73,31 +82,41 @@ def _kernel(key_ref, x_ref, y_ref, grid_ref, out_ref, region, sems, *,
                 sems.at[ch])
             dma.start()
             copies.append(dma)
-
-        mask = (key == t)
-        lr = r0 - row0
-        lc = c0 - col0
-
-        # X^T[REGION_W, BLOCK] / A^T[REGION_H, BLOCK], natural orientation.
-        cols = jax.lax.broadcasted_iota(jnp.int32, (REGION_W, BLOCK), 0)
-        xt = ((cols == lc[None, :]).astype(jnp.float32) * wx0[None, :]
-              + (cols == (lc + 1)[None, :]).astype(jnp.float32)
-              * (1.0 - wx0)[None, :])
-
-        rows = jax.lax.broadcasted_iota(jnp.int32, (REGION_H, BLOCK), 0)
-        at = ((rows == lr[None, :]).astype(jnp.float32) * wy0[None, :]
-              + (rows == (lr + 1)[None, :]).astype(jnp.float32)
-              * (1.0 - wy0)[None, :])
-        at = at * mask.astype(jnp.float32)[None, :]
-
         for dma in copies:
             dma.wait()
 
-        gt = jnp.dot(region[:], xt, preferred_element_type=jnp.float32)
-        for ch in range(n_chan):
-            val = jnp.sum(at * gt[ch * REGION_H:(ch + 1) * REGION_H, :],
-                          axis=0)
-            out_ref[ch, :] = out_ref[ch, :] + val
+        for w in range(N_WIN):
+            @pl.when((wlo[w] <= t) & (whi[w] >= t))
+            def _(w=w):
+                sl = slice(w * WIN, (w + 1) * WIN)
+                mask = (key[sl] == t)
+                lr = r0[sl] - row0
+                lc = c0[sl] - col0
+
+                # X^T[REGION_W, WIN] / A^T[REGION_H, WIN], natural
+                # orientation.
+                cols = jax.lax.broadcasted_iota(jnp.int32, (REGION_W, WIN),
+                                                0)
+                xt = ((cols == lc[None, :]).astype(jnp.float32)
+                      * wx0[sl][None, :]
+                      + (cols == (lc + 1)[None, :]).astype(jnp.float32)
+                      * (1.0 - wx0[sl])[None, :])
+
+                rows = jax.lax.broadcasted_iota(jnp.int32, (REGION_H, WIN),
+                                                0)
+                at = ((rows == lr[None, :]).astype(jnp.float32)
+                      * wy0[sl][None, :]
+                      + (rows == (lr + 1)[None, :]).astype(jnp.float32)
+                      * (1.0 - wy0[sl])[None, :])
+                at = at * mask.astype(jnp.float32)[None, :]
+
+                gt = jnp.dot(region[:], xt,
+                             preferred_element_type=jnp.float32)
+                for ch in range(n_chan):
+                    val = jnp.sum(
+                        at * gt[ch * REGION_H:(ch + 1) * REGION_H, :],
+                        axis=0)
+                    out_ref[ch, sl] = out_ref[ch, sl] + val
 
         return jnp.min(jnp.where(key > t, key, jnp.int32(2 ** 30)))
 
