@@ -1,0 +1,116 @@
+"""Micro-probe: why resort_sim costs 3x a raw sort; draw-phase pieces.
+
+`timeout 550 python scripts/perf_sorts.py` on TPU.
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+
+def timeit(fn, *args, reps=20, warm=2):
+    for _ in range(warm):
+        out = fn(*args)
+    out = jax.tree.leaves(out)[0]
+    float(out.ravel()[0].astype(jnp.float32))
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(*args)
+    out = jax.tree.leaves(out)[0]
+    float(out.ravel()[0].astype(jnp.float32))
+    return (time.time() - t0) / reps * 1000
+
+
+def main():
+    from tendrils_tpu import EngineConfig, Tendrils
+    from tendrils_tpu.engine import resort_sim
+    from tendrils_tpu.ops import spawn
+
+    key = jax.random.PRNGKey(0)
+    n = 1 << 20
+
+    cfg = EngineConfig(root_num=1024, view_res=(1080, 1920),
+                       splat_backend="pallas", gather_backend="pallas",
+                       flow_samples=2, flow_rows=1, view_samples=2)
+    eng = Tendrils(cfg)
+    eng.setup()
+    eng.spawn_shader(lambda p, e: spawn.ball(p, e._frag_xy, 0.6, 0.01))
+    vs = eng._view_size
+    sim = eng.sim
+
+    # 1. resort_sim as-is
+    f = jax.jit(lambda s: resort_sim(s, cfg, vs))
+    print(f"resort_sim full: {timeit(f, sim, reps=10):.2f} ms", flush=True)
+
+    # 2. raw 10-op sort with a realistic computed key (ball-clustered)
+    pos = sim.particles
+    tg = sim.targets
+    idx = sim.idx
+
+    def raw(pos, tg, idx):
+        k = ((pos[1] * 500).astype(jnp.int32) * 68
+             + (pos[0] * 900).astype(jnp.int32))
+        ops = jax.lax.sort([k] + [pos[i] for i in range(4)]
+                           + [tg[i] for i in range(4)] + [idx], num_keys=1)
+        return ops[1]
+    print(f"raw 10-op computed-key sort: "
+          f"{timeit(jax.jit(raw), pos, tg, idx, reps=10):.2f} ms", flush=True)
+
+    # 3. raw sort with random uniform key (dist sensitivity)
+    k_rand = jax.random.randint(key, (n,), 0, 550, jnp.int32)
+    vals = [jax.random.normal(key, (n,)) for _ in range(9)]
+    f3 = jax.jit(lambda k, *v: jax.lax.sort([k, *v], num_keys=1)[1])
+    print(f"raw 10-op random-key sort: {timeit(f3, k_rand, *vals, reps=10):.2f}"
+          " ms", flush=True)
+
+    # 4. ball-clustered key (most keys equal -> sort dist sensitivity)
+    kball = ((pos[1] * 500).astype(jnp.int32) * 68
+             + (pos[0] * 900).astype(jnp.int32))
+    print(f"raw 10-op ball-key sort: {timeit(f3, kball, *vals, reps=10):.2f}"
+          " ms", flush=True)
+
+    # 5. sort of 1M x 5 int32 (segment-level sort candidate)
+    ki = jax.random.randint(key, (n,), 0, 550, jnp.int32)
+    vi = [jax.random.randint(key, (n,), 0, 2**30, jnp.int32)
+          for _ in range(4)]
+    f5 = jax.jit(lambda k, *v: jax.lax.sort([k, *v], num_keys=1)[1])
+    print(f"sort 5 int32 ops x 1M: {timeit(f5, ki, *vi, reps=10):.2f} ms",
+          flush=True)
+
+    # 6. fused_draw_accumulate pieces: with and without presort
+    from tendrils_tpu.ops.draw_pallas import fused_draw_accumulate
+    p0 = jax.random.uniform(key, (n, 2)) * jnp.asarray([1920.0, 1080.0])
+    p1 = p0 + jax.random.normal(key, (n, 2)) * 2.0
+    vel = jax.random.normal(key, (2, n)) * 0.005
+    colors = jax.random.uniform(key, (4, n))
+    live = jnp.ones((n,))
+
+    def acc(presort):
+        def g(p0, p1, vel, colors, live):
+            fp, vp = fused_draw_accumulate(
+                (1080, 1920), p0, p1, vel, colors, live, 0.01, 16.0,
+                samples=2, presort=presort)
+            return fp[0]
+        return jax.jit(g)
+    print(f"fused_accumulate presort=True: "
+          f"{timeit(acc(True), p0, p1, vel, colors, live, reps=10):.2f} ms",
+          flush=True)
+    # sorted-input variant: pre-sort positions by tile so presort=False is
+    # realistic-clustered
+    ky = ((p0[:, 1] // 16).astype(jnp.int32) * 68
+          + (p0[:, 0] // 256).astype(jnp.int32))
+    _, p0xs, p0ys, p1xs, p1ys = jax.lax.sort(
+        [ky, p0[:, 0], p0[:, 1], p1[:, 0], p1[:, 1]], num_keys=1)
+    p0s = jnp.stack([p0xs, p0ys], -1)
+    p1s = jnp.stack([p1xs, p1ys], -1)
+    print(f"fused_accumulate presort=False (pre-clustered): "
+          f"{timeit(acc(False), p0s, p1s, vel, colors, live, reps=10):.2f} ms",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
