@@ -129,21 +129,25 @@ def bench_all(on_tpu):
     _line("3:4M-respawn-stress", eng.config.n, sec,
           "4M, respawn every 10 steps")
 
-    # 4: optical-flow-driven (synthetic moving-bar camera at 480p).
+    # 4: optical-flow-driven (synthetic moving-bar camera at 480p). The
+    # whole frame — optical-flow kernel + composite + step + draw — is ONE
+    # dispatch (`engine.step_draw_io`); the per-frame host work is the video
+    # upload, like the reference's texture upload (`demo.main.js:1131-1160`).
     import numpy as np
     from tendrils_tpu.media import OpticalFlow
     eng = _engine(512 if on_tpu else 32, (720, 1280), on_tpu)
     of = OpticalFlow({"offset": 0.05, "speed": 0.08})
+    of_uniforms = {"offset": 0.05, "speed": 0.08}
     frames = 20 if on_tpu else 2
 
     def of_frame(i):
         img = np.zeros((480, 640, 3), np.float32)
         img[:, (i * 8) % 600:(i * 8) % 600 + 40] = 1.0
         of.set_pixels(img)
-        payload = of.update(time=i * 16.0, speedLimit=0.01)
-        eng.composite_flow(payload)
+        eng.timer.tick()
+        eng.step_draw_io(of_frames=(of.buffers[0], of.buffers[1]),
+                         of_uniforms=of_uniforms)
         of.step()
-        eng.frame()
 
     of_frame(0)  # warm-up compile
     float(eng.sim.particles[0, 0])

@@ -12,10 +12,8 @@ drive it through the feed methods (`pointer_move`, `feed_video_frame`,
 
 from __future__ import annotations
 
-import functools
 import urllib.parse
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,7 +23,6 @@ from ..audio import (Analyser, AudioTexture, AudioTrigger, WavAnalyser,
                      mean_weight, peak)
 from ..flow_line import FlowLines
 from ..media import OpticalFlow, image_to_grid
-from ..ops import post
 from ..spawners import GeometrySpawner, PixelSpawner, spawn_ball
 from .presets import PRESETS
 
@@ -597,8 +594,10 @@ class TendrilsDemo:
         self.mic_trigger.sample(dt or 1)
         self.audio_response()
 
-        # Blend colour maps into the engine's colour map —
-        # ref demo.main.js:1070-1079.
+        # The whole device-side frame — colour-map blend
+        # (ref demo.main.js:1070-1079), step + draw (:1082), pointer flow
+        # lines (:1107-1122), optical flow (:1131-1160), vignette-blur post
+        # (:1084-1102) — in ONE dispatch via `engine.step_draw_io`.
         draw_video = (self.app_settings["useMedia"]
                       and self.app_settings["useCamera"]
                       and self._video_frame is not None)
@@ -606,44 +605,32 @@ class TendrilsDemo:
         track_grid = self.track_texture.grid()
         video_grid = (self._video_frame if draw_video
                       else self.image_spawners["direct"].buffer)
-        alphas = jnp.asarray([self.blend_proxy[k] for k in self.blend_keys],
-                             jnp.float32)
-        # Views may differ in shape; resize to the largest; one jitted pass.
-        shapes = [mic_grid.shape, track_grid.shape, video_grid.shape]
-        target = max(shapes, key=lambda sh: sh[1] * sh[2])
-        self.tendrils.set_color_map(_blend_views(
-            (mic_grid, track_grid, video_grid), alphas, target))
+        alphas = [self.blend_proxy[k] for k in self.blend_keys]
 
-        # The main event (single jitted dispatch — the timer was ticked
-        # above, matching ref `tendrils.step().draw()` demo.main.js:1082).
-        self.tendrils.step_draw()
-
-        # Post: fade + vignette blur to screen — ref demo.main.js:1084-1102.
-        view = self.tendrils.sim.view[0]
-        self.screen = post.vignette_blur(view,
-                                         jnp.float32(
-                                             self.blur_state["radius"]),
-                                         jnp.float32(self.blur_state[
-                                             "limit"]))
-        self.tendrils.step_buffers()
-
-        # Pointer flow lines — ref demo.main.js:1107-1122.
+        segments = None
         self.flow_inputs.trim(1.0 / max(self.state["flowDecay"], 1e-9),
                               app.time)
         if self.app_settings["pointerFlow"]:
-            p0, p1, vel, width = self.flow_inputs.segments(
+            segments = self.flow_inputs.segments(
                 app.time, self.tendrils._view_size,
                 self.tendrils.config.flow_shape)
-            if p0.shape[0]:
-                self.tendrils.inject_flow_segments(p0, p1, vel, width)
 
-        # Optical flow — ref demo.main.js:1131-1160.
+        of_frames = None
+        of_uniforms = None
         if draw_video and self.optical_flow_state["speed"]:
             self.optical_flow.set_pixels(self._video_frame)
-            payload = self.optical_flow.update(
-                app.time, speedLimit=self.state["speedLimit"],
-                **self.optical_flow_state)
-            self.tendrils.composite_flow(payload)
+            of_frames = (self.optical_flow.buffers[0],
+                         self.optical_flow.buffers[1])
+            of_uniforms = self.optical_flow_state
+
+        self.screen = self.tendrils.step_draw_io(
+            color_maps=(mic_grid, track_grid, video_grid),
+            color_alphas=alphas, segments=segments,
+            of_frames=of_frames, of_uniforms=of_uniforms,
+            blur=(self.blur_state["radius"], self.blur_state["limit"]))
+
+        self.tendrils.step_buffers()
+        if of_frames is not None:
             self.optical_flow.step()
 
         self.frame_count += 1
@@ -678,15 +665,6 @@ class TendrilsDemo:
     def presets(self):
         return {name: (lambda n=name: self.apply_preset(n))
                 for name in PRESETS}
-
-
-@functools.partial(jax.jit, static_argnames=("target",))
-def _blend_views(views, alphas, target):
-    import jax.image
-    views = [v if v.shape == target else jax.image.resize(v, target,
-                                                          "bilinear")
-             for v in views]
-    return post.blend(views, alphas)
 
 
 def tendrils_demo(settings=None, **kw):

@@ -225,10 +225,13 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
     # Fused fast path: both passes in one sort + one Pallas kernel.
     if (cfg.fused_draw and cfg.splat_backend == "pallas"
             and axis_name is None and cfg.flow_shape == cfg.view_res):
+        from .ops import sample
         from .ops.draw_pallas import fused_draw
         h, w = cfg.view_res
-        colors = render.particle_colors(pos, vel, colormap_uv,
-                                        sim.color_map, params, time)
+        # Colour-map lookup (XLA side; the rest of the render colour model
+        # runs inside the pack kernel).
+        mapped = sample.sample_uv(sim.color_map, colormap_uv.T) \
+            * params["colorMapAlpha"]
         p0 = coords.clip_to_pixel(p_clip0, (w, h))
         p1 = coords.clip_to_pixel(p_clip1, (w, h))
 
@@ -237,7 +240,7 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
         view0 = render.fade_fill(view0, params["fadeColor"]
                                  * params["autoFade"])
         new_flow, view0 = fused_draw(
-            sim.flow, view0, p0, p1, vel, colors, live, params, time,
+            sim.flow, view0, p0, p1, vel, pos, mapped, live, params, time,
             grid_hw=(h, w), samples=cfg.view_samples,
             presort=(cfg.resident_sort == 0))
         return dataclasses.replace(sim, flow=new_flow,
@@ -466,39 +469,99 @@ class Tendrils:
 
     # -- flow injection (flow lines, optical flow)
 
+    @staticmethod
+    def _bucket_segments(p0_pix, p1_pix, vel):
+        """Pad the segment count to a power-of-2 bucket so a growing pointer
+        path doesn't recompile every frame (pad segments are zero-velocity
+        -> zero payload weight -> no deposit). Floor of 256 keeps typical
+        pointer paths (with crest-row expansion) to one compilation."""
+        n = int(np.shape(p0_pix)[0])
+        bucket = 1 << max(8, (n - 1).bit_length())
+        pad = bucket - n
+        p0_pix = np.pad(np.asarray(p0_pix, np.float32), ((0, pad), (0, 0)))
+        p1_pix = np.pad(np.asarray(p1_pix, np.float32), ((0, pad), (0, 0)))
+        vel = np.pad(np.asarray(vel, np.float32), ((0, 0), (0, pad)))
+        return p0_pix, p1_pix, vel
+
     def inject_flow_segments(self, p0_pix, p1_pix, vel, width_px,
                              samples=None):
         """Splat velocity-painting segments into the flow grid — the TPU
         equivalent of drawing FlowLine ribbons into the flow FBO
         (`demo.main.js:1107-1122`). `vel`: `f32[2, S]` velocities in the
         flow-payload convention."""
-        n = int(np.shape(p0_pix)[0])
-        if n == 0:
+        if int(np.shape(p0_pix)[0]) == 0:
             return self
-        # Pad the segment count to a power-of-2 bucket so a growing pointer
-        # path doesn't recompile every frame (pad segments are zero-velocity
-        # -> zero payload weight -> no deposit). Floor of 256 keeps typical
-        # pointer paths (with crest-row expansion) to one compilation.
-        bucket = 1 << max(8, (n - 1).bit_length())
-        pad = bucket - n
-        p0_pix = np.pad(np.asarray(p0_pix, np.float32), ((0, pad), (0, 0)))
-        p1_pix = np.pad(np.asarray(p1_pix, np.float32), ((0, pad), (0, 0)))
-        vel = np.pad(np.asarray(vel, np.float32), ((0, 0), (0, pad)))
-
-        p = self.params()
-        fh, fw = self.config.flow_shape
-        time = jnp.float32(self.timer.time)
-        payload = flow_ops.flow_payload(jnp.asarray(vel), time,
-                                        p["speedLimit"])
-        rows = max(1, self.config.flow_rows)
-        new_flow = splat_ops.splat_segments(
+        p0_pix, p1_pix, vel = self._bucket_segments(p0_pix, p1_pix, vel)
+        new_flow = _inject_flow(
             self.sim.flow, jnp.asarray(p0_pix), jnp.asarray(p1_pix),
-            payload, payload[3], grid_hw=(fh, fw),
-            width=jnp.float32(max(width_px, 1.0)),
-            samples=samples or self.config.flow_samples, rows=rows,
-            backend=self.config.splat_backend)
+            jnp.asarray(vel), jnp.float32(max(width_px, 1.0)),
+            self.params(), jnp.float32(self.timer.time), self.config,
+            samples=samples or self.config.flow_samples)
         self.sim = dataclasses.replace(self.sim, flow=new_flow)
         return self
+
+    def step_draw_io(self, *, color_maps=None, color_alphas=None,
+                     segments=None, of_frames=None, of_uniforms=None,
+                     blur=None):
+        """The whole interactive frame in ONE device dispatch (no timer
+        tick, like `step_draw`): optional colour-map blend, step + draw,
+        optional pointer flow-line injection, optional optical-flow
+        composite, optional vignette-blur post. This is the reference's full
+        per-frame stack (`demo.main.js:1024-1161`) as a single jit —
+        on a remote-tunnelled device the latency win is ~24 ms per avoided
+        dispatch.
+
+        `color_maps`: sequence of `f32[4, h, w]` grids blended into the
+        colour map with `color_alphas` weights (ref `demo.main.js:1070-1079`);
+        `segments`: `(p0_pix, p1_pix, vel, width_px)` pointer ribbons;
+        `of_frames`: `(current, last)` optical-flow frame grids with
+        `of_uniforms` dict (offset/lambda/speed); `blur`: `(radius, limit)`.
+        Returns the post-processed screen image (or None without `blur`).
+        """
+        if self.timer.paused:
+            self.draw()
+            if blur is not None:
+                from .ops import post
+                return post.vignette_blur(self.sim.view[0],
+                                          jnp.float32(blur[0]),
+                                          jnp.float32(blur[1]))
+            return None
+
+        cm = None
+        if color_maps is not None:
+            cm = tuple(jnp.asarray(g, jnp.float32) for g in color_maps)
+            target = max((g.shape for g in cm),
+                         key=lambda sh: sh[1] * sh[2])
+            if target != self.sim.color_map.shape:
+                self.config = dataclasses.replace(self.config,
+                                                  color_map_res=target[1:])
+            color_alphas = jnp.asarray(color_alphas, jnp.float32)
+
+        seg = None
+        if segments is not None and int(np.shape(segments[0])[0]):
+            p0, p1, vel = self._bucket_segments(*segments[:3])
+            seg = (jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(vel),
+                   jnp.float32(max(segments[3], 1.0)))
+
+        of = None
+        if of_frames is not None:
+            u = dict({"offset": 1.0, "lambda": 0.001, "speed": 1.0},
+                     **(of_uniforms or {}))
+            of = (jnp.asarray(of_frames[0], jnp.float32),
+                  jnp.asarray(of_frames[1], jnp.float32),
+                  jnp.float32(u["offset"]), jnp.float32(u["lambda"]),
+                  jnp.float32(u["speed"]))
+
+        blur_t = None
+        if blur is not None:
+            blur_t = (jnp.float32(blur[0]), jnp.float32(blur[1]))
+
+        self.sim, screen = _frame_io_jit(
+            self.sim, self.params(), jnp.float32(self.timer.time),
+            jnp.float32(self.timer.dt), self.config, self._view_size,
+            cm, color_alphas, seg, of, blur_t,
+            resort=self._tick_resort())
+        return screen
 
     def composite_flow(self, payload_grid):
         """Alpha-blend a full-screen flow payload (e.g. optical flow) over
@@ -607,6 +670,68 @@ def _frame_jit(sim, params, time, dt, cfg, view_size, resort=False):
         sim = resort_sim(sim, cfg, view_size, params)
     sim = step_sim(sim, params, time, dt, cfg, view_size)
     return draw_sim(sim, params, time, cfg, view_size)
+
+
+def _inject_flow(flow, p0_pix, p1_pix, vel, width, params, time, cfg,
+                 samples=None):
+    """Pure flow-line segment injection core (ref `demo.main.js:1107-1122`);
+    shared by the facade method and the fused io-frame."""
+    payload = flow_ops.flow_payload(vel, time, params["speedLimit"])
+    return splat_ops.splat_segments(
+        flow, p0_pix, p1_pix, payload, payload[3],
+        grid_hw=cfg.flow_shape, width=width,
+        samples=samples or cfg.flow_samples, rows=max(1, cfg.flow_rows),
+        backend=cfg.splat_backend)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "resort"),
+                   donate_argnums=(0,))
+def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
+                  seg, of, blur, resort=False):
+    """One-dispatch interactive frame: [colormap blend] + step + draw +
+    [flow-line inject] + [optical flow] + [vignette blur]. Optional stages
+    are `None` (absence is part of the jit cache key via the pytree
+    structure). Ref per-frame stack: `demo.main.js:1024-1161`."""
+    if resort:
+        sim = resort_sim(sim, cfg, view_size, params)
+
+    if cm is not None:
+        # Blend colour maps (ref demo.main.js:1070-1079); shapes are static
+        # at trace time — resize to the largest.
+        import jax.image
+        from .ops import post as post_ops
+        target = max((g.shape for g in cm), key=lambda sh: sh[1] * sh[2])
+        views = [g if g.shape == target
+                 else jax.image.resize(g, target, "bilinear") for g in cm]
+        sim = dataclasses.replace(sim,
+                                  color_map=post_ops.blend(views, cm_alphas))
+
+    sim = step_sim(sim, params, time, dt, cfg, view_size)
+    sim = draw_sim(sim, params, time, cfg, view_size)
+
+    if seg is not None:
+        p0, p1, vel, width = seg
+        sim = dataclasses.replace(
+            sim, flow=_inject_flow(sim.flow, p0, p1, vel, width, params,
+                                   time, cfg))
+
+    if of is not None:
+        import jax.image
+        from .ops.optical_flow import composite_flow, optical_flow
+        cur, last, offset, lam, speed = of
+        payload = optical_flow(cur, last, time, offset=offset, lambda_=lam,
+                               speed=speed, speed_limit=params["speedLimit"])
+        fh, fw = cfg.flow_shape
+        if payload.shape[1:] != (fh, fw):
+            payload = jax.image.resize(payload, (4, fh, fw), "bilinear")
+        sim = dataclasses.replace(sim,
+                                  flow=composite_flow(sim.flow, payload))
+
+    screen = None
+    if blur is not None:
+        from .ops import post as post_ops
+        screen = post_ops.vignette_blur(sim.view[0], blur[0], blur[1])
+    return sim, screen
 
 
 def run_headless(sim, params, cfg: EngineConfig, view_size, t0, dt, steps):

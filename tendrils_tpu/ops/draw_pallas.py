@@ -140,7 +140,11 @@ def _kernel(scal_ref, key_ref, pos_ref, vel_ref, rgba_ref, as_ref,
     chan = [vx * af, vy * af, wf * af, af, jnp.log1p(-af),
             cr * av, cg * av, cb * av, ca * av, av, jnp.log1p(-av)]
 
-    # Per-window key ranges for the pl.when gates (hoisted scalars).
+    # Hoisted per-window key ranges for the pl.when gates (computed once per
+    # block — per-visit exact-membership reductions cost ~µs each on the
+    # scalar unit and dominate at thousands of visits). Ranges are tight
+    # because expand keys samples by their SEGMENT's tile (exactly sorted
+    # runs; only rare long-segment strays widen a window's range).
     wlo = [jnp.min(key[w * WIN:(w + 1) * WIN]) for w in range(N_WIN)]
     whi = [jnp.max(key[w * WIN:(w + 1) * WIN]) for w in range(N_WIN)]
 
@@ -157,9 +161,10 @@ def _kernel(scal_ref, key_ref, pos_ref, vel_ref, rgba_ref, as_ref,
         load.wait()
 
         for w in range(N_WIN):
+            sl = slice(w * WIN, (w + 1) * WIN)
+
             @pl.when((wlo[w] <= t) & (whi[w] >= t))
-            def _(w=w):
-                sl = slice(w * WIN, (w + 1) * WIN)
+            def _(w=w, sl=sl):
                 live = (key[sl] == t).astype(jnp.float32)
                 gyl = gy[sl] - row0  # continuous, region-relative
                 gxl = gx[sl] - col0
@@ -235,11 +240,19 @@ def _box_blur_traced(img, radius):
 
 
 def _pack_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
-                 vy_ref, cr_ref, cg_ref, cb_ref, ca_ref, live_ref,
+                 vy_ref, posx_ref, posy_ref, mr_ref, mg_ref, mb_ref,
+                 ma_ref, live_ref,
                  keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref, *,
                  tiles_x, pscale, h, w):
-    """Pack per-segment attributes into 15-bit pairs + the midpoint tile key
-    (one Pallas pass; sorting then moves 6 int32 streams instead of 10 f32).
+    """Pack per-segment attributes into 15-bit pairs + the segment's
+    footprint-top midpoint tile key (the sort then moves 5 int32 streams of
+    SEGMENTS — half the rows of a sample-level sort — and the expand pass
+    runs after the sort, emitting per-sample operands already clustered).
+
+    The render colour model (`src/render/index.vert:57-94`) runs HERE on the
+    VPU — base colour + colour-map value (`mr..ma`, pre-scaled by
+    colorMapAlpha) + velocity-direction→RGB alignment, alpha by speed rate ×
+    radial vignette — saving the separate XLA colour chain.
 
     Endpoints are clamped into the padded margin before quantisation — a
     particle >1px off-grid has its segment geometry clamped (its samples
@@ -262,32 +275,94 @@ def _pack_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
         t = jnp.clip((v - lo) / (hi - lo), 0.0, 1.0)
         return jnp.round(t * HALF).astype(jnp.int32)
 
+    vnx = vx_ref[:] / sl
+    vny = vy_ref[:] / sl
     live_bit = (live_ref[:] > 0.5).astype(jnp.int32) * (2 ** 30)
-    vl_ref[:] = (live_bit + q15(vy_ref[:] / sl, -1.0, 1.0) * (HALF + 1)
-                 + q15(vx_ref[:] / sl, -1.0, 1.0))
+    vl_ref[:] = (live_bit + q15(vny, -1.0, 1.0) * (HALF + 1)
+                 + q15(vnx, -1.0, 1.0))
+
+    # --- render colour model (ref src/render/index.vert:57-94) ---
+    speed_alpha = scal_ref[0, 4]
+    sin_decay = scal_ref[0, 5]  # sin(time * flowDecay), precomputed scalar
+    flow_decay = scal_ref[0, 6]
+    base = [scal_ref[0, 7 + i] for i in range(4)]
+    flow_c = [scal_ref[0, 11 + i] for i in range(4)]
+
+    speed_rate = jnp.minimum(
+        (vnx * vnx + vny * vny) / jnp.maximum(speed_alpha, 1e-12), 1.0)
+
+    # 3-axis alignment at 120° (render/index.vert:33-36, 76-83).
+    al0 = vnx  # axis (1, 0)
+    al1 = vnx * -0.5 + vny * -0.8660254037844385
+    al2 = vnx * -0.5 + vny * 0.8660254037844387
+    k = 1.0 - flow_decay
+
+    def falign(a, a_gbr):
+        mixed = a + (a_gbr * k - a) * sin_decay
+        return mixed * 0.5 + 0.5
+
+    fa = (falign(al0, al1), falign(al1, al2), falign(al2, al0))
+
+    def clip01(v):
+        return jnp.clip(v, 0.0, 1.0)
+
+    ones = jnp.ones_like(vnx)
+    cr = (clip01(base[0] * base[3] * ones) + clip01(mr_ref[:] * ma_ref[:])
+          + clip01(flow_c[0] * fa[0] * flow_c[3]))
+    cg = (clip01(base[1] * base[3] * ones) + clip01(mg_ref[:] * ma_ref[:])
+          + clip01(flow_c[1] * fa[1] * flow_c[3]))
+    cb = (clip01(base[2] * base[3] * ones) + clip01(mb_ref[:] * ma_ref[:])
+          + clip01(flow_c[2] * fa[2] * flow_c[3]))
+    ca = (clip01(base[3] * ones) + clip01(ma_ref[:])
+          + clip01(flow_c[3] * ones))
+
+    # Alpha: speed rate × clamped radial bezier vignette
+    # (index.vert:92-94; curve (0.2, 1, 1), range [0.2, 1]).
+    d = jnp.sqrt(posx_ref[:] ** 2 + posy_ref[:] ** 2)
+    amt = jnp.minimum(1.0 - d, 1.0)
+    ut = 1.0 - amt
+    bz = (0.2 * ut + amt) * ut + amt
+    vig = jnp.clip(jnp.maximum(bz, 0.0), 0.2, 1.0)
+    ca = ca * speed_rate * vig
+
     def q8(v, levels=255):
         t = jnp.clip(v / COLOR_MAX, 0.0, 1.0)
         return jnp.round(t * levels).astype(jnp.int32)
 
-    rgba_ref[:] = (q8(cr_ref[:]) + q8(cg_ref[:]) * 256
-                   + q8(cb_ref[:]) * 65536 + q8(ca_ref[:], 127) * 16777216)
+    rgba_ref[:] = (q8(cr) + q8(cg) * 256 + q8(cb) * 65536
+                   + q8(ca, 127) * 16777216)
 
-    mx = (x0q + x1q).astype(jnp.float32) * (0.5 / pscale) - 0.5
-    my = (y0q + y1q).astype(jnp.float32) * (0.5 / pscale) - 0.5
-    keym_ref[:] = ((jnp.floor(my).astype(jnp.int32) // TILE_H) * tiles_x
-                   + (jnp.floor(mx).astype(jnp.int32) // TILE_W))
+    # Segment key: footprint top-left tile of the segment's BOUNDING BOX
+    # (min endpoint − half-width). The expand pass keys every sample of a
+    # segment by this same tile whenever the whole deposit fits the key
+    # tile's region (the common case — segments are a few px), so expanded
+    # blocks are EXACTLY sorted runs and the splat kernel's distinct-tile
+    # DMA count stays at the sorted minimum.
+    hwm = jnp.maximum(jnp.clip(scal_ref[0, 2], 1.0, KMAX_WIDTH),
+                      jnp.clip(scal_ref[0, 3], 1.0, KMAX_WIDTH)) * 0.5
+    inv_p = 1.0 / pscale
+    top_x = jnp.maximum(jnp.minimum(x0q, x1q).astype(jnp.float32) * inv_p
+                        - hwm, 0.0)
+    top_y = jnp.maximum(jnp.minimum(y0q, y1q).astype(jnp.float32) * inv_p
+                        - hwm, 0.0)
+    keym_ref[:] = ((jnp.floor(top_y).astype(jnp.int32) // TILE_H) * tiles_x
+                   + (jnp.floor(top_x).astype(jnp.int32) // TILE_W))
 
 
 def _expand_kernel(scal_ref, p0_ref, p1_ref, vl_ref, rgba_ref,
                    key_ref, pos_ref, vel_ref, rgbao_ref, as_ref, *,
                    samples, tiles_x, pscale, h, w):
     """Sorted packed segments -> per-sample splat operands. Each grid block
-    maps SEG segments -> SEG*samples samples ([all s=0 | all s=1 | ...] —
-    order is irrelevant, samples of one block stay clustered).
+    maps SEG segments -> SEG*samples samples ([all s=0 | all s=1 | ...]).
 
-    Samples are keyed by the top-left of their widest (flow vs view line
-    width) box footprint so the splat kernel's region, which starts at the
-    key tile's origin, contains every deposit row/col (see _kernel)."""
+    Samples inherit their SEGMENT's bounding-box-top tile key (the pack
+    kernel's sort key) whenever the sample's whole deposit footprint fits
+    inside that key tile's [REGION_H, REGION_W] region — so expanded blocks
+    stay exactly-sorted runs and the splat kernel pays the sorted-minimum
+    number of region DMAs. Long segments' overflow samples (rare: a segment
+    spanning more than the region margin) fall back to their own
+    footprint-top tile, which the kernel's exact-membership gating absorbs
+    as strays."""
     hwm = jnp.maximum(jnp.clip(scal_ref[0, 2], 1.0, KMAX_WIDTH),
                       jnp.clip(scal_ref[0, 3], 1.0, KMAX_WIDTH)) * 0.5
     inv_p = 1.0 / pscale
@@ -296,9 +371,21 @@ def _expand_kernel(scal_ref, p0_ref, p1_ref, vl_ref, rgba_ref,
     p1 = p1_ref[:]
     p0x = (p0 & HALF).astype(jnp.float32) * inv_p
     p0y = (p0 >> 15).astype(jnp.float32) * inv_p
-    dx = (p1 & HALF).astype(jnp.float32) * inv_p - p0x
-    dy = (p1 >> 15).astype(jnp.float32) * inv_p - p0y
+    p1x = (p1 & HALF).astype(jnp.float32) * inv_p
+    p1y = (p1 >> 15).astype(jnp.float32) * inv_p
+    dx = p1x - p0x
+    dy = p1y - p0y
     length = jnp.sqrt(dx * dx + dy * dy)
+
+    # Segment key tile (must reproduce the pack kernel's keym exactly).
+    seg_top_x = jnp.maximum(jnp.minimum(p0x, p1x) - hwm, 0.0)
+    seg_top_y = jnp.maximum(jnp.minimum(p0y, p1y) - hwm, 0.0)
+    seg_row = jnp.floor(seg_top_y).astype(jnp.int32) // TILE_H
+    seg_col = jnp.floor(seg_top_x).astype(jnp.int32) // TILE_W
+    seg_key = seg_row * tiles_x + seg_col
+    # Region extents downstream of the key tile's origin.
+    reg_y_hi = (seg_row * TILE_H).astype(jnp.float32) + REGION_H
+    reg_x_hi = (seg_col * TILE_W).astype(jnp.float32) + REGION_W
 
     vl = vl_ref[:]
     live = (vl >> 30).astype(jnp.float32)
@@ -319,12 +406,17 @@ def _expand_kernel(scal_ref, p0_ref, p1_ref, vl_ref, rgba_ref,
         yq = jnp.round(yp * pscale).astype(jnp.int32)
         gxq = xq.astype(jnp.float32) * inv_p - 0.5
         gyq = yq.astype(jnp.float32) * inv_p - 0.5
-        # Footprint top-left (clamped into the padded grid so weightless
-        # clamped/pad samples still key a legal tile).
+        # Deposit fits the segment key tile's region? (Sample tops can't
+        # precede the segment bbox top, so only the far edge needs checking.)
+        fits = ((gyq + 0.5 + hwm <= reg_y_hi)
+                & (gxq + 0.5 + hwm <= reg_x_hi))
+        # Fallback: own footprint top-left (clamped into the padded grid so
+        # weightless clamped/pad samples still key a legal tile).
         top_x = jnp.maximum(gxq + 0.5 - hwm, 0.0)
         top_y = jnp.maximum(gyq + 0.5 - hwm, 0.0)
-        key = ((jnp.floor(top_y).astype(jnp.int32) // TILE_H) * tiles_x
-               + (jnp.floor(top_x).astype(jnp.int32) // TILE_W))
+        own_key = ((jnp.floor(top_y).astype(jnp.int32) // TILE_H) * tiles_x
+                   + (jnp.floor(top_x).astype(jnp.int32) // TILE_W))
+        key = jnp.where(fits, seg_key, own_key)
 
         sl_out = pl.ds(s * seg, seg)
         key_ref[sl_out] = key
@@ -336,17 +428,26 @@ def _expand_kernel(scal_ref, p0_ref, p1_ref, vl_ref, rgba_ref,
 
 @functools.partial(jax.jit, static_argnames=("grid_hw", "samples",
                                              "interpret", "presort"))
-def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, colors, live,
-                          speed_limit, time, *, samples=2, interpret=None,
-                          presort=True, flow_width=1.0, line_width=1.0):
+def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
+                          live, speed_limit, time, *, samples=2,
+                          interpret=None, presort=True, flow_width=1.0,
+                          line_width=1.0, speed_alpha=1.0, sin_decay=0.0,
+                          flow_decay=0.0, base_color=None, flow_color=None):
     """Accumulate both passes' splats.
 
     `p0_pix`/`p1_pix`: `f32[N, 2]` segment endpoints (window px of the shared
-    flow/view grid); `vel`: `f32[2, N]`; `colors`: `f32[4, N]` render RGBA;
-    `live`: `f32[N]` alive mask; `flow_width`/`line_width`: per-pass GL line
-    widths, applied in-kernel up to KMAX_WIDTH (traced). Returns
-    (flow_parts, view_parts) each `(num [4,H,W], wsum [H,W], logt [H,W])`.
-    `interpret=None` auto-selects interpreter mode off-TPU.
+    flow/view grid); `vel`: `f32[2, N]`; `pos_ndc`: `f32[2, N]` current NDC
+    positions (render vignette); `mapped`: `f32[4, N]` colour-map lookup
+    pre-scaled by colorMapAlpha; `live`: `f32[N]` alive mask;
+    `flow_width`/`line_width`: per-pass GL line widths, applied in-kernel up
+    to KMAX_WIDTH (traced); `speed_alpha`/`sin_decay`/`flow_decay`/
+    `base_color[4]`/`flow_color[4]`: render colour-model params (colours are
+    derived in the pack kernel). Returns (flow_parts, view_parts) each
+    `(num [4,H,W], wsum [H,W], logt [H,W])`. `interpret=None` auto-selects
+    interpreter mode off-TPU. With `presort=True` segments are sorted by
+    their midpoint's footprint-top tile (5 int32 operands at SEGMENT count —
+    half a sample-level sort) and expanded after; `presort=False` trusts the
+    caller's clustering (resident-sorted particles).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -354,6 +455,11 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, colors, live,
     hp, wp = _pad_dims(h, w)
     tiles_x = wp // TILE_W
     pscale = _pos_scale(hp, wp)
+
+    if base_color is None:
+        base_color = jnp.zeros(4, jnp.float32)
+    if flow_color is None:
+        flow_color = jnp.zeros(4, jnp.float32)
 
     # Pad segments to a block multiple (no-op for root_num >= 64).
     n = p0_pix.shape[0]
@@ -366,56 +472,61 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, colors, live,
         p1_pix = jnp.pad(p1_pix, ((0, pad), (0, 0)),
                          constant_values=w + 64.0)
         vel = jnp.pad(vel, ((0, 0), (0, pad)))
-        colors = jnp.pad(colors, ((0, 0), (0, pad)))
+        pos_ndc = jnp.pad(pos_ndc, ((0, 0), (0, pad)))
+        mapped = jnp.pad(mapped, ((0, 0), (0, pad)))
         live = jnp.pad(live, (0, pad))
     m_pad = n_pad * samples
 
-    scal = jnp.stack([jnp.float32(speed_limit), jnp.float32(time),
-                      jnp.float32(flow_width),
-                      jnp.float32(line_width)])[None]
+    scal = jnp.concatenate([
+        jnp.stack([jnp.float32(speed_limit), jnp.float32(time),
+                   jnp.float32(flow_width), jnp.float32(line_width),
+                   jnp.float32(speed_alpha), jnp.float32(sin_decay),
+                   jnp.float32(flow_decay)]),
+        jnp.asarray(base_color, jnp.float32),
+        jnp.asarray(flow_color, jnp.float32),
+        jnp.zeros(1, jnp.float32)])[None]  # [1, 16]
     i32 = jnp.int32
 
-    # Pass 1: pack segment attributes (+ midpoint tile key).
+    # Pass 1: pack segment attributes + in-kernel render colours + the
+    # footprint-top midpoint tile key.
     segspec = pl.BlockSpec((seg_block,), lambda b: (b,),
                            memory_space=pltpu.VMEM)
+    smem_scal = pl.BlockSpec((1, 16), lambda b: (0, 0),
+                             memory_space=pltpu.SMEM)
     keym, p0u, p1u, vlu, rgbau = pl.pallas_call(
         functools.partial(_pack_kernel, tiles_x=tiles_x, pscale=pscale,
                           h=h, w=w),
         grid=(n_pad // seg_block,),
-        in_specs=([pl.BlockSpec((1, 4), lambda b: (0, 0),
-                                memory_space=pltpu.SMEM)]
-                  + [segspec] * 11),
+        in_specs=([smem_scal] + [segspec] * 13),
         out_specs=[segspec] * 5,
         out_shape=[jax.ShapeDtypeStruct((n_pad,), i32)] * 5,
         interpret=interpret,
     )(scal, p0_pix[:, 0], p0_pix[:, 1], p1_pix[:, 0], p1_pix[:, 1],
-      vel[0], vel[1], colors[0], colors[1], colors[2], colors[3], live)
+      vel[0], vel[1], pos_ndc[0], pos_ndc[1],
+      mapped[0], mapped[1], mapped[2], mapped[3], live)
 
-    del keym  # midpoint key: available for segment-level binning; the
-    # splat kernel's full-block-per-tile-visit shape wants exactly sorted
-    # samples, so binning happens at sample level below.
+    # Bin SEGMENTS by tile (5 packed int32 operands at half the sample
+    # count); the expand pass then emits per-sample operands that are
+    # already clustered (within ±1 tile of the segment key), which the
+    # splat kernel's windowed gating absorbs. Resident-sorted particles
+    # (presort=False) skip even this.
+    if presort:
+        keym, p0u, p1u, vlu, rgbau = jax.lax.sort(
+            [keym, p0u, p1u, vlu, rgbau], num_keys=1)
 
-    # Pass 2: expand to per-sample splat operands.
+    # Pass 2: expand sorted segments to per-sample splat operands.
     out_spec = pl.BlockSpec((BLOCK,), lambda b: (b,),
                             memory_space=pltpu.VMEM)
     key, pos_u, vel_u, rgba_u, ascale = pl.pallas_call(
         functools.partial(_expand_kernel, samples=samples, tiles_x=tiles_x,
                           pscale=pscale, h=h, w=w),
         grid=(n_pad // seg_block,),
-        in_specs=([pl.BlockSpec((1, 4), lambda b: (0, 0),
-                                memory_space=pltpu.SMEM)]
-                  + [segspec] * 4),
+        in_specs=([smem_scal] + [segspec] * 4),
         out_specs=[out_spec] * 5,
         out_shape=[jax.ShapeDtypeStruct((m_pad,), d)
                    for d in (i32, i32, i32, i32, jnp.float32)],
         interpret=interpret,
     )(scal, p0u, p1u, vlu, rgbau)
-
-    # Bin samples by tile (5 packed int32/f32 operands). Resident-sorted
-    # particles (presort=False) keep blocks clustered enough to skip this.
-    if presort:
-        key, pos_u, vel_u, rgba_u, ascale = jax.lax.sort(
-            [key, pos_u, vel_u, rgba_u, ascale], num_keys=1)
 
     accum0 = jnp.zeros((N_CHAN, hp, wp), jnp.float32)
 
@@ -424,8 +535,7 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, colors, live,
     out = pl.pallas_call(
         functools.partial(_kernel, tiles_x=tiles_x, pscale=pscale),
         grid=(m_pad // BLOCK,),
-        in_specs=([pl.BlockSpec((1, 4), lambda b: (0, 0),
-                                memory_space=pltpu.SMEM)]
+        in_specs=([smem_scal]
                   + [blocked] * 5
                   + [pl.BlockSpec(memory_space=pl.ANY)]),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -469,16 +579,23 @@ def _widen_excess(parts, width):
     return stack[:-2], stack[-2], stack[-1]
 
 
-def fused_draw(flow, view, p0_pix, p1_pix, vel, colors, live, params, time,
-               *, grid_hw, samples=2, interpret=None, presort=True):
+def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
+               params, time, *, grid_hw, samples=2, interpret=None,
+               presort=True):
     """Full fused draw: accumulate with in-kernel per-pass line widths
     (`flowWidth` for the flow deposit, `lineWidth` for the view deposit —
-    ref `src/index.js:302,336` set `gl.lineWidth` per pass), resolve both
-    blends. Returns (new_flow, new_view)."""
+    ref `src/index.js:302,336` set `gl.lineWidth` per pass) and the in-kernel
+    render colour model, resolve both blends. `mapped` is the colour-map
+    lookup (pre-scaled by colorMapAlpha). Returns (new_flow, new_view)."""
     flow_parts, view_parts = fused_draw_accumulate(
-        grid_hw, p0_pix, p1_pix, vel, colors, live, params["speedLimit"],
-        time, samples=samples, interpret=interpret, presort=presort,
-        flow_width=params["flowWidth"], line_width=params["lineWidth"])
+        grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
+        params["speedLimit"], time, samples=samples, interpret=interpret,
+        presort=presort,
+        flow_width=params["flowWidth"], line_width=params["lineWidth"],
+        speed_alpha=params["speedAlpha"],
+        sin_decay=jnp.sin(time * params["flowDecay"]),
+        flow_decay=params["flowDecay"],
+        base_color=params["baseColor"], flow_color=params["flowColor"])
 
     new_flow = composite_over(
         flow, *_widen_excess(flow_parts, params["flowWidth"]))

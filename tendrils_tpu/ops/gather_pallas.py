@@ -63,7 +63,9 @@ def _kernel(key_ref, x_ref, y_ref, grid_ref, out_ref, region, sems, *,
 
     out_ref[:] = jnp.zeros_like(out_ref)
 
-    # Per-window key ranges for the pl.when gates (hoisted scalars).
+    # Hoisted per-window key ranges for the pl.when gates (per-visit
+    # membership reductions are scalar-unit-bound; ranges are tight on
+    # sorted input).
     wlo = [jnp.min(key[w * WIN:(w + 1) * WIN]) for w in range(N_WIN)]
     whi = [jnp.max(key[w * WIN:(w + 1) * WIN]) for w in range(N_WIN)]
 
@@ -86,9 +88,10 @@ def _kernel(key_ref, x_ref, y_ref, grid_ref, out_ref, region, sems, *,
             dma.wait()
 
         for w in range(N_WIN):
+            sl = slice(w * WIN, (w + 1) * WIN)
+
             @pl.when((wlo[w] <= t) & (whi[w] >= t))
-            def _(w=w):
-                sl = slice(w * WIN, (w + 1) * WIN)
+            def _(w=w, sl=sl):
                 mask = (key[sl] == t)
                 lr = r0[sl] - row0
                 lc = c0[sl] - col0

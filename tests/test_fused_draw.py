@@ -154,10 +154,11 @@ def test_low_pscale_wide_grid():
     p0 = jnp.asarray([[100.0, 8.0], [8000.0, 8.0]])
     p1 = p0 + jnp.asarray([[4.0, 0.0], [4.0, 0.0]])
     vel = jnp.asarray([[0.004, 0.004], [0.0, 0.0]])
-    colors = jnp.ones((4, 2)) * 0.5
+    pos_ndc = jnp.zeros((2, 2))
+    mapped = jnp.ones((4, 2)) * 0.5
     live = jnp.ones(2)
     flow_parts, view_parts = fused_draw_accumulate(
-        (h, w), p0, p1, vel, colors, live, jnp.float32(0.01),
+        (h, w), p0, p1, vel, pos_ndc, mapped, live, jnp.float32(0.01),
         jnp.float32(16.0), samples=2)
     wsum = np.asarray(flow_parts[1])
     ys, xs = np.nonzero(wsum > 1e-5)
