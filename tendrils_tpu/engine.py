@@ -63,6 +63,12 @@ class EngineConfig:
     # sorts are skipped entirely and the full state reorder is amortised
     # over N frames. Single-device pallas path only.
     resident_sort: int = 0
+    # Carry the next step's flow force in SimState: the fused draw's segment
+    # sort doubles as the flow-gather binning (`draw_pallas` aux stream), so
+    # the step pays no gather sort of its own. Active only on the fused
+    # single-device pallas path with one flow LOD; invalidated by spawns and
+    # external flow edits (the next frame gathers in-step).
+    carry_force: bool = True
 
     @property
     def n(self) -> int:
@@ -101,6 +107,59 @@ def flow_pyramid(flow_grid, levels):
     return grids
 
 
+def carry_enabled(cfg: EngineConfig) -> bool:
+    """Whether the carried-force fast path is active (see
+    `EngineConfig.carry_force`)."""
+    return (cfg.carry_force and cfg.fused_draw
+            and cfg.splat_backend == "pallas"
+            and cfg.gather_backend == "pallas"
+            and cfg.flow_levels == 1
+            and cfg.flow_shape == cfg.view_res)
+
+
+def force_from_aux(flow, aux, params, read_time, cfg: EngineConfig):
+    """Gather the next step's flow force from the CURRENT flow grid using
+    the fused draw's segment-sorted aux stream — no sort on the way in (the
+    stream is already tile-binned), one 3-operand un-sort on the way out.
+
+    `read_time` is the next frame's time (fixed-step exact; wall-clock
+    timers approximate decay age by one frame — the payload stamps make the
+    error `(dt_err · flowDecay · vel)`, far below force scale)."""
+    from .ops.draw_pallas import HALF, pos_scale_for
+    from .ops.gather_pallas import bilinear_gather_keyed
+    from .ops.tile_geom import PAD_LO_H, PAD_LO_W
+
+    gidx_s, gkey_s, p1_s = aux
+    h, w = cfg.flow_shape
+    inv_p = 1.0 / pos_scale_for((h, w))
+    # CLAMP_TO_EDGE content coords (padded frame), like the in-step gather.
+    xs = jnp.clip((p1_s & HALF).astype(jnp.float32) * inv_p,
+                  PAD_LO_W + 0.5, PAD_LO_W + w - 0.5)
+    ys = jnp.clip((p1_s >> 15).astype(jnp.float32) * inv_p,
+                  PAD_LO_H + 0.5, PAD_LO_H + h - 0.5)
+    eff = flow[:2] * jnp.maximum(
+        0.0, 1.0 - (read_time - flow[2]) * params["flowDecay"])[None]
+    f = bilinear_gather_keyed(eff, xs, ys, gkey_s)  # [2, M] sorted order
+    _, f0, f1 = jax.lax.sort([gidx_s, f[0], f[1]], num_keys=1)
+    n = cfg.n
+    return jnp.stack([f0[:n], f1[:n]])
+
+
+def initial_force(sim: state_mod.SimState, params, cfg: EngineConfig,
+                  view_size, read_time):
+    """Standalone flow-force gather at current positions (used to seed the
+    carried force before a scan, mirroring the in-step pallas gather)."""
+    from .ops.gather_pallas import bilinear_gather
+    h, w = cfg.flow_shape
+    pos = sim.particles[:2]
+    eff = sim.flow[:2] * jnp.maximum(
+        0.0, 1.0 - (read_time - sim.flow[2]) * params["flowDecay"])[None]
+    u0 = (pos[0] * view_size[0]) * 0.5 + 0.5
+    u1 = (pos[1] * view_size[1]) * 0.5 + 0.5
+    return bilinear_gather(eff, u0 * w, u1 * h,
+                           clustered=cfg.resident_sort > 0)
+
+
 def resort_sim(sim: state_mod.SimState, cfg: EngineConfig, view_size,
                params=None):
     """Reorder the particle rows by flow-grid tile of their position.
@@ -134,16 +193,19 @@ def resort_sim(sim: state_mod.SimState, cfg: EngineConfig, view_size,
             // dp.TILE_H) * (wp // dp.TILE_W)
            + (jnp.maximum(jnp.floor(x - hwm), 0.0).astype(jnp.int32)
               // dp.TILE_W))
+    force_rows = [] if sim.force is None else [sim.force[0], sim.force[1]]
     ops = jax.lax.sort(
         [key] + [sim.particles[i] for i in range(4)]
-        + [sim.targets[i] for i in range(4)] + [sim.idx], num_keys=1)
+        + [sim.targets[i] for i in range(4)] + [sim.idx] + force_rows,
+        num_keys=1)
     particles = jnp.stack(ops[1:5])
     return dataclasses.replace(
         sim,
         particles=particles,
         previous=particles,
         targets=jnp.stack(ops[5:9]),
-        idx=ops[9])
+        idx=ops[9],
+        force=None if sim.force is None else jnp.stack(ops[10:12]))
 
 
 def step_sim(sim: state_mod.SimState, params, time, dt, cfg: EngineConfig,
@@ -155,7 +217,19 @@ def step_sim(sim: state_mod.SimState, params, time, dt, cfg: EngineConfig,
     if cfg.gather_backend not in ("xla", "pallas"):
         raise ValueError(f"unknown gather backend: {cfg.gather_backend}")
     flow_force_fn = None
-    if cfg.gather_backend == "pallas":
+    if sim.force is not None:
+        # Carried force: pre-gathered at the end of the previous frame from
+        # the final flow grid at these exact positions (see `force_from_aux`)
+        # — no gather at all here. Consumed once: positions move this step,
+        # so the output state carries None until the next draw repopulates.
+        force = sim.force
+
+        def flow_force_fn(pos_screen):
+            del pos_screen
+            return force
+
+        flows = None
+    elif cfg.gather_backend == "pallas":
         # Fast path: decay the whole flow grid once (elementwise), then
         # gather only the 2 effective-velocity channels. Decay is linear in
         # the stamp away from the max() clamp, so decay-then-interpolate
@@ -190,16 +264,21 @@ def step_sim(sim: state_mod.SimState, params, time, dt, cfg: EngineConfig,
         sim.particles, flows, sim.targets, params, uv, index01, view_size,
         time, dt, sample_fn=None, flow_force_fn=flow_force_fn)
     return dataclasses.replace(sim, particles=new_particles,
-                               previous=sim.particles)
+                               previous=sim.particles, force=None)
 
 
 def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
-             view_size, axis_name=None):
+             view_size, axis_name=None, want_aux=False):
     """Flow + view render passes — ref `src/index.js:278-340`.
 
     With `axis_name` set (data-parallel shard_map over particles), the splat
     partial sums are `psum`'d across shards before the blend resolve — the
     sim's only collective (SURVEY §2.9).
+
+    `want_aux=True` (fused carry path only) additionally returns the
+    flow-gather aux stream `(idx_s, gkey_s, p1_s)`, used by the frame
+    functions to pre-gather the next step's flow force AFTER any flow
+    injections (`force_from_aux`).
     """
     pos = sim.particles[:2]
     vel = sim.particles[2:]
@@ -239,12 +318,19 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
         view0 = view0 * (1.0 - params["autoClearView"])
         view0 = render.fade_fill(view0, params["fadeColor"]
                                  * params["autoFade"])
-        new_flow, view0 = fused_draw(
+        # The aux id is the ROW number (not sim.idx — rows may be resident
+        # -permuted): the carried force must realign to current row order.
+        out = fused_draw(
             sim.flow, view0, p0, p1, vel, pos, mapped, live, params, time,
             grid_hw=(h, w), samples=cfg.view_samples,
-            presort=(cfg.resident_sort == 0))
-        return dataclasses.replace(sim, flow=new_flow,
-                                   view=sim.view.at[0].set(view0))
+            presort=(cfg.resident_sort == 0),
+            idx=(jnp.arange(cfg.n, dtype=jnp.int32) if want_aux else None))
+        new_flow, view0 = out[:2]
+        new_sim = dataclasses.replace(sim, flow=new_flow,
+                                      view=sim.view.at[0].set(view0))
+        if want_aux:
+            return new_sim, out[2]
+        return new_sim
 
     # --- Flow pass (ref src/index.js:296-303): payload alpha-blended into
     # the flow grid, which is NOT cleared (accumulates, decays on read).
@@ -378,7 +464,8 @@ class Tendrils:
 
     def clear_flow(self):
         self.sim = dataclasses.replace(self.sim,
-                                       flow=jnp.zeros_like(self.sim.flow))
+                                       flow=jnp.zeros_like(self.sim.flow),
+                                       force=None)
         return self
 
     # -- parameters
@@ -405,7 +492,8 @@ class Tendrils:
     def draw(self):
         """Ref `src/index.js:278-340`."""
         self.sim = _draw_jit(self.sim, self.params(),
-                             jnp.float32(self.timer.time), self.config,
+                             jnp.float32(self.timer.time),
+                             jnp.float32(self.timer.dt), self.config,
                              self._view_size)
         return self
 
@@ -441,7 +529,7 @@ class Tendrils:
         fn = spawner or spawn_ops.init
         particles = fn(self.sim.particles)
         self.sim = dataclasses.replace(self.sim, particles=particles,
-                                       previous=particles)
+                                       previous=particles, force=None)
         self._frame_idx = 0  # respawn scatters rows; resort next frame
         return self
 
@@ -458,7 +546,8 @@ class Tendrils:
         if target is None:
             new = op(self.sim.particles, self)
             self.sim = dataclasses.replace(self.sim, particles=new,
-                                           previous=self.sim.particles)
+                                           previous=self.sim.particles,
+                                           force=None)
             self._frame_idx = 0  # respawn scatters rows; resort next frame
         elif target == "targets":
             new = op(self.sim.previous, self)
@@ -497,7 +586,8 @@ class Tendrils:
             jnp.asarray(vel), jnp.float32(max(width_px, 1.0)),
             self.params(), jnp.float32(self.timer.time), self.config,
             samples=samples or self.config.flow_samples)
-        self.sim = dataclasses.replace(self.sim, flow=new_flow)
+        # The carried force (if any) predates this flow edit.
+        self.sim = dataclasses.replace(self.sim, flow=new_flow, force=None)
         return self
 
     def step_draw_io(self, *, color_maps=None, color_alphas=None,
@@ -574,7 +664,8 @@ class Tendrils:
             payload_grid = jax.image.resize(payload_grid, (4, fh, fw),
                                             "bilinear")
         self.sim = dataclasses.replace(
-            self.sim, flow=_composite(self.sim.flow, payload_grid))
+            self.sim, flow=_composite(self.sim.flow, payload_grid),
+            force=None)
         return self
 
     # -- view helpers (ref src/index.js:342-391)
@@ -623,7 +714,8 @@ class Tendrils:
         self.sim = dataclasses.replace(
             self.sim,
             view=jnp.zeros((cfg.num_view_buffers, 4, h, w), jnp.float32),
-            flow=jnp.zeros((4, fh, fw), jnp.float32))
+            flow=jnp.zeros((4, fh, fw), jnp.float32),
+            force=None)
         return self
 
     def set_color_map(self, color_map):
@@ -654,8 +746,14 @@ def _step_jit(sim, params, time, dt, cfg, view_size, resort=False):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def _draw_jit(sim, params, time, cfg, view_size):
-    return draw_sim(sim, params, time, cfg, view_size)
+def _draw_jit(sim, params, time, dt, cfg, view_size):
+    if not carry_enabled(cfg):
+        if sim.force is not None:
+            sim = dataclasses.replace(sim, force=None)
+        return draw_sim(sim, params, time, cfg, view_size)
+    sim, aux = draw_sim(sim, params, time, cfg, view_size, want_aux=True)
+    force = force_from_aux(sim.flow, aux, params, time + dt, cfg)
+    return dataclasses.replace(sim, force=force)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
@@ -669,7 +767,11 @@ def _frame_jit(sim, params, time, dt, cfg, view_size, resort=False):
     if resort:
         sim = resort_sim(sim, cfg, view_size, params)
     sim = step_sim(sim, params, time, dt, cfg, view_size)
-    return draw_sim(sim, params, time, cfg, view_size)
+    if not carry_enabled(cfg):
+        return draw_sim(sim, params, time, cfg, view_size)
+    sim, aux = draw_sim(sim, params, time, cfg, view_size, want_aux=True)
+    force = force_from_aux(sim.flow, aux, params, time + dt, cfg)
+    return dataclasses.replace(sim, force=force)
 
 
 def _inject_flow(flow, p0_pix, p1_pix, vel, width, params, time, cfg,
@@ -694,6 +796,9 @@ def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
     structure). Ref per-frame stack: `demo.main.js:1024-1161`."""
     if resort:
         sim = resort_sim(sim, cfg, view_size, params)
+    carry = carry_enabled(cfg)
+    if not carry and sim.force is not None:
+        sim = dataclasses.replace(sim, force=None)
 
     if cm is not None:
         # Blend colour maps (ref demo.main.js:1070-1079); shapes are static
@@ -707,7 +812,12 @@ def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
                                   color_map=post_ops.blend(views, cm_alphas))
 
     sim = step_sim(sim, params, time, dt, cfg, view_size)
-    sim = draw_sim(sim, params, time, cfg, view_size)
+    aux = None
+    if carry:
+        sim, aux = draw_sim(sim, params, time, cfg, view_size,
+                            want_aux=True)
+    else:
+        sim = draw_sim(sim, params, time, cfg, view_size)
 
     if seg is not None:
         p0, p1, vel, width = seg
@@ -727,6 +837,13 @@ def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
         sim = dataclasses.replace(sim,
                                   flow=composite_flow(sim.flow, payload))
 
+    if aux is not None:
+        # Pre-gather the next step's flow force from the FINAL flow grid
+        # (after injections — the reference's logic pass sees flow lines and
+        # optical flow written this frame, `demo.main.js:1107-1160`).
+        force = force_from_aux(sim.flow, aux, params, time + dt, cfg)
+        sim = dataclasses.replace(sim, force=force)
+
     screen = None
     if blur is not None:
         from .ops import post as post_ops
@@ -738,13 +855,27 @@ def run_headless(sim, params, cfg: EngineConfig, view_size, t0, dt, steps):
     """Fixed-step headless run under `lax.scan` (SURVEY §7 pillar 2).
 
     Buffers are threaded through the scan carry (double-buffering by
-    functional update); resident resorting (if configured) runs via
-    `lax.cond` on the frame counter. Returns the final state.
+    functional update); the carried flow force (if enabled) is seeded with a
+    standalone gather so the carry structure is scan-stable. Returns the
+    final state.
     """
+    carry = carry_enabled(cfg)
+    if carry and sim.force is None:
+        sim = dataclasses.replace(
+            sim, force=initial_force(sim, params, cfg, view_size, t0 + dt))
+    elif not carry and sim.force is not None:
+        sim = dataclasses.replace(sim, force=None)
+
     def body(sim, i):
         time = t0 + dt * (i + 1)
         sim = step_sim(sim, params, time, dt, cfg, view_size)
-        sim = draw_sim(sim, params, time, cfg, view_size)
+        if carry:
+            sim, aux = draw_sim(sim, params, time, cfg, view_size,
+                                want_aux=True)
+            force = force_from_aux(sim.flow, aux, params, time + dt, cfg)
+            sim = dataclasses.replace(sim, force=force)
+        else:
+            sim = draw_sim(sim, params, time, cfg, view_size)
         return sim, ()
 
     k = cfg.resident_sort

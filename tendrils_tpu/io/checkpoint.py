@@ -18,8 +18,12 @@ from ..state import SimState
 
 def save_checkpoint(path, engine):
     """Dump engine sim state + live params + timer to `path` (.npz)."""
+    # The carried flow force (if any) is a derived cache — recomputed on the
+    # first frame after load, so it is not persisted.
     arrays = {f.name: np.asarray(getattr(engine.sim, f.name))
-              for f in dataclasses.fields(engine.sim)}
+              for f in dataclasses.fields(engine.sim)
+              if getattr(engine.sim, f.name) is not None
+              and f.name != "force"}
     meta = {
         "state": {k: v for k, v in engine.state.items()},
         "timer": {"time": engine.timer.time, "since": engine.timer.since,
@@ -54,7 +58,7 @@ def load_checkpoint(path, engine):
         engine.resize(tuple(cfg["view_res"]), ck_flow)
 
     kw = {f.name: jnp.asarray(data[f.name])
-          for f in dataclasses.fields(SimState)}
+          for f in dataclasses.fields(SimState) if f.name in data}
     engine.sim = SimState(**kw)
     engine.state.update(meta["state"])
     for k, v in meta["timer"].items():

@@ -41,6 +41,10 @@ from .tile_geom import (PAD_LO_H, PAD_LO_W, REGION_H, REGION_W, TILE_H,
 # backend's 8x128, and the bf16 MXU eats the 2.25x-bigger matmul. Block of
 # 4096 samples halves block-boundary revisits.
 BLOCK = 4096
+# Pack/expand are elementwise passes — their per-grid-step overhead (~5 µs)
+# dominates at small blocks, so they run on much larger blocks than the
+# splat's VMEM-bound BLOCK.
+PACK_SEG = 16384
 # Windowed matmuls: each tile visit only multiplies the 512-sample windows
 # whose [min, max] key range covers the tile (pl.when-gated). Sorted blocks
 # do ~2-5 window matmuls per visit instead of one full-block matmul (~4x
@@ -241,9 +245,8 @@ def _box_blur_traced(img, radius):
 
 def _pack_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
                  vy_ref, posx_ref, posy_ref, mr_ref, mg_ref, mb_ref,
-                 ma_ref, live_ref,
-                 keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref, *,
-                 tiles_x, pscale, h, w):
+                 ma_ref, live_ref, *refs,
+                 tiles_x, pscale, h, w, gather=0):
     """Pack per-segment attributes into 15-bit pairs + the segment's
     footprint-top midpoint tile key (the sort then moves 5 int32 streams of
     SEGMENTS — half the rows of a sample-level sort — and the expand pass
@@ -257,7 +260,19 @@ def _pack_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
     Endpoints are clamped into the padded margin before quantisation — a
     particle >1px off-grid has its segment geometry clamped (its samples
     would not deposit on-grid anyway); the live flag rides bit 30 of the
-    velocity word."""
+    velocity word.
+
+    `gather`: 0 = draw stream only; 1 = also emit the NEXT-step flow-gather
+    key packed with the particle index (`gkey * 2^20 + idx`, one extra sort
+    operand); 2 = emit gkey and idx as two outputs (big-N/grid fallback).
+    The gather key is the segment key whenever p1's bilinear corners
+    (clamped to the content edge, GL CLAMP_TO_EDGE) lie inside the key
+    tile's region, else p1's own tile."""
+    if gather:
+        idx_ref = refs[0]
+        refs = refs[1:]
+    keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref = refs[:5]
+    grefs = refs[5:]
     sl = jnp.maximum(scal_ref[0, 0], 1e-12)
 
     def qpos(x, y):
@@ -345,8 +360,30 @@ def _pack_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
                         - hwm, 0.0)
     top_y = jnp.maximum(jnp.minimum(y0q, y1q).astype(jnp.float32) * inv_p
                         - hwm, 0.0)
-    keym_ref[:] = ((jnp.floor(top_y).astype(jnp.int32) // TILE_H) * tiles_x
-                   + (jnp.floor(top_x).astype(jnp.int32) // TILE_W))
+    krow = jnp.floor(top_y).astype(jnp.int32) // TILE_H
+    kcol = jnp.floor(top_x).astype(jnp.int32) // TILE_W
+    keym = krow * tiles_x + kcol
+    keym_ref[:] = keym
+
+    if gather:
+        # Flow-gather key for p1 (the NEXT step's read position): segment
+        # key if p1's clamped bilinear corners fit its region, else p1's
+        # own tile.
+        xcl = jnp.clip(x1q.astype(jnp.float32) * inv_p,
+                       PAD_LO_W + 0.5, PAD_LO_W + w - 0.5)
+        ycl = jnp.clip(y1q.astype(jnp.float32) * inv_p,
+                       PAD_LO_H + 0.5, PAD_LO_H + h - 0.5)
+        r0g = jnp.floor(ycl - 0.5).astype(jnp.int32)
+        c0g = jnp.floor(xcl - 0.5).astype(jnp.int32)
+        fits = ((r0g + 1 < krow * TILE_H + REGION_H)
+                & (c0g + 1 < kcol * TILE_W + REGION_W))
+        own = (r0g // TILE_H) * tiles_x + (c0g // TILE_W)
+        gkey = jnp.where(fits, keym, own)
+        if gather == 1:
+            grefs[0][:] = gkey * (2 ** 20) + idx_ref[:]
+        else:
+            grefs[0][:] = gkey
+            grefs[1][:] = idx_ref[:]
 
 
 def _expand_kernel(scal_ref, p0_ref, p1_ref, vl_ref, rgba_ref,
@@ -426,10 +463,16 @@ def _expand_kernel(scal_ref, p0_ref, p1_ref, vl_ref, rgba_ref,
         as_ref[sl_out] = a
 
 
+def pos_scale_for(grid_hw):
+    """The fixed-point sub-pixel scale the fused draw uses for `grid_hw`."""
+    hp, wp = _pad_dims(*grid_hw)
+    return _pos_scale(hp, wp)
+
+
 @functools.partial(jax.jit, static_argnames=("grid_hw", "samples",
                                              "interpret", "presort"))
 def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
-                          live, speed_limit, time, *, samples=2,
+                          live, speed_limit, time, *, idx=None, samples=2,
                           interpret=None, presort=True, flow_width=1.0,
                           line_width=1.0, speed_alpha=1.0, sin_decay=0.0,
                           flow_decay=0.0, base_color=None, flow_color=None):
@@ -445,9 +488,16 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
     derived in the pack kernel). Returns (flow_parts, view_parts) each
     `(num [4,H,W], wsum [H,W], logt [H,W])`. `interpret=None` auto-selects
     interpreter mode off-TPU. With `presort=True` segments are sorted by
-    their midpoint's footprint-top tile (5 int32 operands at SEGMENT count —
+    their bbox's footprint-top tile (5 int32 operands at SEGMENT count —
     half a sample-level sort) and expanded after; `presort=False` trusts the
     caller's clustering (resident-sorted particles).
+
+    With `idx` (`i32[N]` particle row ids) the segment sort ALSO carries a
+    flow-gather stream for the next step's force, and a third element
+    `aux = (idx_s, gkey_s, p1_s)` is returned: particle ids, gather tile
+    keys and packed p1 coords in segment-sorted order, ready for
+    `gather_pallas.bilinear_gather_keyed` with no further sorting (pad rows
+    carry ids >= N and sort to the tail of the un-sort).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -461,9 +511,13 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
     if flow_color is None:
         flow_color = jnp.zeros(4, jnp.float32)
 
-    # Pad segments to a block multiple (no-op for root_num >= 64).
+    # Pad segments to a block multiple (no-op for root_num >= 64). Pack and
+    # expand run on PACK_SEG-segment grid steps when the input is big enough
+    # (grid-step overhead), which the splat's BLOCK divides evenly.
     n = p0_pix.shape[0]
     seg_block = BLOCK // samples
+    if n >= PACK_SEG and PACK_SEG % seg_block == 0:
+        seg_block = PACK_SEG
     n_pad = (n + seg_block - 1) // seg_block * seg_block
     if n_pad != n:
         pad = n_pad - n
@@ -475,7 +529,20 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
         pos_ndc = jnp.pad(pos_ndc, ((0, 0), (0, pad)))
         mapped = jnp.pad(mapped, ((0, 0), (0, pad)))
         live = jnp.pad(live, (0, pad))
+        if idx is not None:
+            # Distinct tail ids so pad rows un-sort to the end and slice off.
+            idx = jnp.concatenate([idx, jnp.arange(n, n_pad, dtype=jnp.int32)])
     m_pad = n_pad * samples
+
+    # Gather-stream mode: packed key+id in one operand when both fit 31
+    # bits, else two operands.
+    num_tiles = (hp // TILE_H) * tiles_x
+    if idx is None:
+        gather = 0
+    elif n_pad <= (1 << 20) and num_tiles <= (1 << 11):
+        gather = 1
+    else:
+        gather = 2
 
     scal = jnp.concatenate([
         jnp.stack([jnp.float32(speed_limit), jnp.float32(time),
@@ -493,29 +560,46 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
                            memory_space=pltpu.VMEM)
     smem_scal = pl.BlockSpec((1, 16), lambda b: (0, 0),
                              memory_space=pltpu.SMEM)
-    keym, p0u, p1u, vlu, rgbau = pl.pallas_call(
+    n_out = 5 + (1 if gather == 1 else (2 if gather == 2 else 0))
+    pack_in = [scal, p0_pix[:, 0], p0_pix[:, 1], p1_pix[:, 0], p1_pix[:, 1],
+               vel[0], vel[1], pos_ndc[0], pos_ndc[1],
+               mapped[0], mapped[1], mapped[2], mapped[3], live]
+    if gather:
+        pack_in.append(idx)
+    outs = pl.pallas_call(
         functools.partial(_pack_kernel, tiles_x=tiles_x, pscale=pscale,
-                          h=h, w=w),
+                          h=h, w=w, gather=gather),
         grid=(n_pad // seg_block,),
-        in_specs=([smem_scal] + [segspec] * 13),
-        out_specs=[segspec] * 5,
-        out_shape=[jax.ShapeDtypeStruct((n_pad,), i32)] * 5,
+        in_specs=([smem_scal] + [segspec] * (13 + (1 if gather else 0))),
+        out_specs=[segspec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((n_pad,), i32)] * n_out,
         interpret=interpret,
-    )(scal, p0_pix[:, 0], p0_pix[:, 1], p1_pix[:, 0], p1_pix[:, 1],
-      vel[0], vel[1], pos_ndc[0], pos_ndc[1],
-      mapped[0], mapped[1], mapped[2], mapped[3], live)
+    )(*pack_in)
+    keym, p0u, p1u, vlu, rgbau = outs[:5]
+    gouts = list(outs[5:])
 
     # Bin SEGMENTS by tile (5 packed int32 operands at half the sample
-    # count); the expand pass then emits per-sample operands that are
-    # already clustered (within ±1 tile of the segment key), which the
-    # splat kernel's windowed gating absorbs. Resident-sorted particles
+    # count, + the gather stream when carried); the expand pass then emits
+    # per-sample operands that are already exactly-sorted runs (samples
+    # inherit their segment's key). Resident-sorted particles
     # (presort=False) skip even this.
     if presort:
-        keym, p0u, p1u, vlu, rgbau = jax.lax.sort(
-            [keym, p0u, p1u, vlu, rgbau], num_keys=1)
+        sorted_ops = jax.lax.sort(
+            [keym, p0u, p1u, vlu, rgbau] + gouts, num_keys=1)
+        keym, p0u, p1u, vlu, rgbau = sorted_ops[:5]
+        gouts = list(sorted_ops[5:])
+
+    if gather == 1:
+        gidx_s = gouts[0] & ((1 << 20) - 1)
+        gkey_s = gouts[0] >> 20
+        aux = (gidx_s, gkey_s, p1u)
+    elif gather == 2:
+        aux = (gouts[1], gouts[0], p1u)
+    else:
+        aux = None
 
     # Pass 2: expand sorted segments to per-sample splat operands.
-    out_spec = pl.BlockSpec((BLOCK,), lambda b: (b,),
+    out_spec = pl.BlockSpec((seg_block * samples,), lambda b: (b,),
                             memory_space=pltpu.VMEM)
     key, pos_u, vel_u, rgba_u, ascale = pl.pallas_call(
         functools.partial(_expand_kernel, samples=samples, tiles_x=tiles_x,
@@ -557,7 +641,9 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
     fnum = jnp.concatenate([out[0:2], stamp_num[None], out[2:3]])
     flow_parts = (fnum, out[3], out[4])
     view_parts = (out[5:9], out[9], out[10])
-    return flow_parts, view_parts
+    if idx is None:
+        return flow_parts, view_parts
+    return flow_parts, view_parts, aux
 
 
 def _widen_excess(parts, width):
@@ -581,24 +667,29 @@ def _widen_excess(parts, width):
 
 def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
                params, time, *, grid_hw, samples=2, interpret=None,
-               presort=True):
+               presort=True, idx=None):
     """Full fused draw: accumulate with in-kernel per-pass line widths
     (`flowWidth` for the flow deposit, `lineWidth` for the view deposit —
     ref `src/index.js:302,336` set `gl.lineWidth` per pass) and the in-kernel
     render colour model, resolve both blends. `mapped` is the colour-map
-    lookup (pre-scaled by colorMapAlpha). Returns (new_flow, new_view)."""
-    flow_parts, view_parts = fused_draw_accumulate(
+    lookup (pre-scaled by colorMapAlpha). Returns (new_flow, new_view), plus
+    the flow-gather aux stream when `idx` is given (see
+    `fused_draw_accumulate`)."""
+    out = fused_draw_accumulate(
         grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
-        params["speedLimit"], time, samples=samples, interpret=interpret,
-        presort=presort,
+        params["speedLimit"], time, idx=idx, samples=samples,
+        interpret=interpret, presort=presort,
         flow_width=params["flowWidth"], line_width=params["lineWidth"],
         speed_alpha=params["speedAlpha"],
         sin_decay=jnp.sin(time * params["flowDecay"]),
         flow_decay=params["flowDecay"],
         base_color=params["baseColor"], flow_color=params["flowColor"])
+    flow_parts, view_parts = out[:2]
 
     new_flow = composite_over(
         flow, *_widen_excess(flow_parts, params["flowWidth"]))
     new_view = composite_over(
         view, *_widen_excess(view_parts, params["lineWidth"]))
-    return new_flow, new_view
+    if idx is None:
+        return new_flow, new_view
+    return new_flow, new_view, out[2]

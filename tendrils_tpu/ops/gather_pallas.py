@@ -190,3 +190,53 @@ def bilinear_gather(grid, x, y, interpret=None, clustered=False):
     # Un-sort back to slot order (sort is far cheaper than TPU scatter).
     _, *vals = jax.lax.sort([slot] + [out[i] for i in range(c)], num_keys=1)
     return jnp.stack(vals)[:, :m]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bilinear_gather_keyed(grid, xs, ys, keys, interpret=None):
+    """Pre-binned bilinear gather: the caller supplies PADDED-grid pixel
+    coords (already clamped so both bilinear corners lie inside the key
+    tile's region) and per-sample tile `keys` in an already-clustered order
+    — typically the fused draw's segment-sorted stream, so no sort or
+    un-sort runs here at all. Returns `f32[C, M]` in input order.
+
+    Keys must follow the draw's convention (any tile whose
+    [REGION_H, REGION_W] region contains the sample's corners — usually the
+    segment's bbox-top tile, see `draw_pallas._expand_kernel`)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    c, h, w = grid.shape
+    hp, wp = _pad_dims(h, w)
+    tiles_x = wp // TILE_W
+
+    m = xs.shape[0]
+    m_pad = (m + BLOCK - 1) // BLOCK * BLOCK
+    pad = m_pad - m
+    if pad:
+        xs = jnp.pad(xs, (0, pad), constant_values=PAD_LO_W + 0.5)
+        ys = jnp.pad(ys, (0, pad), constant_values=PAD_LO_H + 0.5)
+        keys = jnp.pad(keys, (0, pad))
+
+    gpad = jnp.pad(grid, ((0, 0), (PAD_LO_H, hp - h - PAD_LO_H),
+                          (PAD_LO_W, wp - w - PAD_LO_W)))
+    gpad_t = gpad.reshape(c * hp, wp)
+
+    blocked = pl.BlockSpec((BLOCK,), lambda b: (b,),
+                           memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_kernel, tiles_x=tiles_x, n_chan=c, hp=hp),
+        grid=(m_pad // BLOCK,),
+        in_specs=[blocked, blocked, blocked,
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((c, BLOCK), lambda b: (0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, m_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((c * REGION_H, REGION_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((c,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(keys, xs, ys, gpad_t)
+    return out[:, :m]

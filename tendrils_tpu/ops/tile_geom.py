@@ -1,6 +1,9 @@
 """Shared tile geometry for the clustered Pallas kernels (fused draw +
-gather): 16x256-px content tiles, 24x384 RMW/DMA regions (the +1 bilinear
-halo fits), padded grids so no edge cases. The generic `splat_pallas` backend
+gather): 16x256-px content tiles, 32x384 RMW/DMA regions. The 16-row
+vertical margin lets the draw's expand pass key every sample of a segment
+by the SEGMENT's bbox-top tile for segments up to ~14 px tall (typical
+speedLimit geometry) — expanded blocks then bin as exactly-sorted runs at
+the sorted-minimum region-DMA count. The generic `splat_pallas` backend
 keeps its own smaller 8x128 geometry (better for arbitrary payload channel
 counts at small grids).
 
@@ -11,7 +14,7 @@ BOTH kernels.
 
 TILE_H = 16
 TILE_W = 256
-REGION_H = 24
+REGION_H = 32
 REGION_W = 384
 PAD_LO_H, PAD_LO_W = TILE_H, TILE_W
 PAD_HI_H, PAD_HI_W = REGION_H, REGION_W

@@ -30,7 +30,7 @@ def make_mesh(devices=None, axis=AXIS) -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
-def _sim_specs():
+def _sim_specs(force=False):
     return state_mod.SimState(
         particles=P(None, AXIS),
         previous=P(None, AXIS),
@@ -40,16 +40,21 @@ def _sim_specs():
         color_map=P(),
         key=P(),
         idx=P(AXIS),
+        force=(P(None, AXIS) if force else None),
     )
 
 
 def shard_sim(sim: state_mod.SimState, mesh: Mesh) -> state_mod.SimState:
-    """Place a SimState on the mesh with the standard layout."""
+    """Place a SimState on the mesh with the standard layout. The carried
+    flow force is a single-device cache — dropped here (the sharded step
+    gathers from the replicated grid)."""
+    sim = dataclasses.replace(sim, force=None)
     specs = _sim_specs()
     kw = {
         f.name: jax.device_put(getattr(sim, f.name),
                                NamedSharding(mesh, getattr(specs, f.name)))
         for f in dataclasses.fields(sim)
+        if getattr(sim, f.name) is not None
     }
     return dataclasses.replace(sim, **kw)
 

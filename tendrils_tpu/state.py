@@ -104,9 +104,17 @@ class SimState:
                  particles *resident in approximately tile-sorted order*
                  (resorted every `resident_sort` frames) so the Pallas
                  splat/gather kernels see spatially clustered blocks without
-                 any per-frame sort; per-particle constants (uv, variance
-                 index, colour-map uv) are recomputed from `idx`. Identity
-                 permutation when resident sorting is off.
+                 any per-particle-frame sort; per-particle constants (uv,
+                 variance index, colour-map uv) are recomputed from `idx`.
+                 Identity permutation when resident sorting is off.
+      force:     `f32[2, N]` or None — the flow force for the NEXT step,
+                 pre-gathered at the end of the previous frame by reusing
+                 the fused draw's segment binning (so the step pays no
+                 gather sort of its own). None = not carried (first frame,
+                 after spawns/flow edits, or non-fused paths); the step then
+                 gathers in-place. The reference analogue: the logic pass
+                 samples the flow written by the previous frame's draw
+                 (`src/index.js:296-303` ordering).
     """
     particles: jax.Array
     previous: jax.Array
@@ -116,6 +124,7 @@ class SimState:
     color_map: jax.Array
     key: jax.Array
     idx: jax.Array
+    force: Any = None
 
 
 def make_state(root_num: int = 512, view_res=(720, 1280), num_view_buffers=1,
