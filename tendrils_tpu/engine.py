@@ -301,9 +301,11 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
     p_clip1 = jnp.stack([pos[0] * view_size[0], pos[1] * view_size[1]],
                         axis=-1)
 
-    # Fused fast path: both passes in one sort + one Pallas kernel.
+    # Fused fast path: both passes in one sort + one Pallas kernel. Under
+    # shard_map the per-shard accumulated parts are psum'd before the
+    # resolve (the deposit channels are order-independent sums).
     if (cfg.fused_draw and cfg.splat_backend == "pallas"
-            and axis_name is None and cfg.flow_shape == cfg.view_res):
+            and cfg.flow_shape == cfg.view_res):
         from .ops import sample
         from .ops.draw_pallas import fused_draw
         h, w = cfg.view_res
@@ -320,11 +322,16 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
                                  * params["autoFade"])
         # The aux id is the ROW number (not sim.idx — rows may be resident
         # -permuted): the carried force must realign to current row order.
+        n_local = pos.shape[1]
         out = fused_draw(
             sim.flow, view0, p0, p1, vel, pos, mapped, live, params, time,
             grid_hw=(h, w), samples=cfg.view_samples,
             presort=(cfg.resident_sort == 0),
-            idx=(jnp.arange(cfg.n, dtype=jnp.int32) if want_aux else None))
+            idx=(jnp.arange(n_local, dtype=jnp.int32) if want_aux
+                 else None),
+            psum=(None if axis_name is None
+                  else functools.partial(jax.lax.psum,
+                                         axis_name=axis_name)))
         new_flow, view0 = out[:2]
         new_sim = dataclasses.replace(sim, flow=new_flow,
                                       view=sim.view.at[0].set(view0))

@@ -667,14 +667,19 @@ def _widen_excess(parts, width):
 
 def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
                params, time, *, grid_hw, samples=2, interpret=None,
-               presort=True, idx=None):
+               presort=True, idx=None, psum=None):
     """Full fused draw: accumulate with in-kernel per-pass line widths
     (`flowWidth` for the flow deposit, `lineWidth` for the view deposit —
     ref `src/index.js:302,336` set `gl.lineWidth` per pass) and the in-kernel
     render colour model, resolve both blends. `mapped` is the colour-map
     lookup (pre-scaled by colorMapAlpha). Returns (new_flow, new_view), plus
     the flow-gather aux stream when `idx` is given (see
-    `fused_draw_accumulate`)."""
+    `fused_draw_accumulate`).
+
+    `psum`: optional reduction of the accumulated parts across a shard_map
+    axis before the resolve — the deposit channels (numerators, weight sums,
+    log-transmittances) are all order-independent sums, so data-parallel
+    shards compose exactly."""
     out = fused_draw_accumulate(
         grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
         params["speedLimit"], time, idx=idx, samples=samples,
@@ -685,6 +690,9 @@ def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
         flow_decay=params["flowDecay"],
         base_color=params["baseColor"], flow_color=params["flowColor"])
     flow_parts, view_parts = out[:2]
+    if psum is not None:
+        flow_parts = psum(flow_parts)
+        view_parts = psum(view_parts)
 
     new_flow = composite_over(
         flow, *_widen_excess(flow_parts, params["flowWidth"]))

