@@ -57,8 +57,16 @@ def _run_scan(sim, params, cfg, view_size, t0, dt, steps):
 def _scan_once(eng, steps, params=None, t0=0.0):
     """One scan of `steps` frames; the caller times it (jit cache keyed on
     (cfg, steps) — no per-call recompiles)."""
+    import dataclasses
     params = params or eng.params()
     dt = 1000.0 / 60.0
+    # Keep the input pytree structure IDENTICAL across calls: a previous
+    # scan leaves the carried flow force in the sim, and a None-vs-array
+    # structure change would retrace + recompile INSIDE the timed window
+    # (~45 s — this silently inflated a whole benchmarking session before
+    # being caught). run_headless re-seeds the force internally.
+    if eng.sim.force is not None:
+        eng.sim = dataclasses.replace(eng.sim, force=None)
     eng.sim = _run_scan(eng.sim, params, eng.config, eng._view_size,
                         jnp.float32(t0), dt, steps)
     float(eng.sim.particles[0, 0])  # force (block_until_ready lies on axon)

@@ -861,10 +861,14 @@ def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
 def run_headless(sim, params, cfg: EngineConfig, view_size, t0, dt, steps):
     """Fixed-step headless run under `lax.scan` (SURVEY §7 pillar 2).
 
-    Buffers are threaded through the scan carry (double-buffering by
-    functional update); the carried flow force (if enabled) is seeded with a
-    standalone gather so the carry structure is scan-stable. Returns the
-    final state.
+    Only the leaves a frame actually mutates ride the scan carry —
+    particles / previous / flow / view (+ the carried force, + targets/idx
+    on the resident-resort chunk loop); the rest close over the body. This
+    matters beyond hygiene: this machine's device runtime degrades
+    pathologically (~200x) when a scan carries more buffers than the sim's
+    base eight, so the carry is kept minimal. The carried flow force (if
+    enabled) is seeded with a standalone gather so the carry structure is
+    scan-stable. Returns the final state.
     """
     carry = carry_enabled(cfg)
     if carry and sim.force is None:
