@@ -87,16 +87,29 @@ def _q15(v, lo, hi):
     return jnp.round(t * HALF).astype(jnp.int32)
 
 
-def _kernel(scal_ref, key_ref, pos_ref, vel_ref, rgba_ref, as_ref,
-            accum_ref, out_ref, region, sem_in, sem_out, *, tiles_x,
-            pscale):
-    """scal: f32[1, 4] SMEM (speedLimit, time, flowWidth, lineWidth).
+_BIG = 2 ** 30  # sentinel key (plain int: jnp constants can't be captured
+# by pallas kernel closures)
 
-    Each sample deposits a separable box footprint (per-pass width) via the
-    tile-visit matmul: row/col weight matrices hold box-pixel overlap
-    coverage. Samples are keyed by their max-width footprint's top-left
-    tile, so every deposit row/col lands inside the [REGION_H, REGION_W]
-    region downstream of the key tile's origin."""
+
+def _kernel(scal_ref, keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref,
+            accum_ref, out_ref, regions, sem_in, sem_out, *, tiles_x,
+            pscale, samples, h, w):
+    """Segment-direct fused splat: expands each packed segment to its
+    `samples` deposit points IN-KERNEL (no per-sample HBM stream at all)
+    and accumulates both passes' box footprints via tile-visit matmuls.
+
+    scal: f32[1, 16] SMEM (speedLimit, time, flowWidth, lineWidth, + render
+    colour params — colours were already packed by the pack kernel).
+
+    Tiles are visited in FOUR passes by (row, col) parity: within a pass,
+    visited regions are disjoint (regions span 1.5 tiles; same-parity tiles
+    are 2 apart), so the next tile's region load is prefetched into the
+    other scratch slot while the current tile computes — the serial
+    load→compute→store chain only pays the store. Samples inherit their
+    segment's bbox-top tile key (the pack kernel's sort key) whenever the
+    deposit fits that region — exactly-sorted runs — so per-window
+    [min, max] gates stay tight; long segments' overflow samples fall back
+    to their own footprint-top tile (rare strays)."""
     del accum_ref
     speed_limit = scal_ref[0, 0]
     width_f = jnp.clip(scal_ref[0, 2], 1.0, KMAX_WIDTH)
@@ -105,116 +118,196 @@ def _kernel(scal_ref, key_ref, pos_ref, vel_ref, rgba_ref, as_ref,
     hw_v = width_v * 0.5
     inv_wf = 1.0 / width_f  # row-axis normalisation: total mass ∝ width
     inv_wv = 1.0 / width_v
-
-    key = key_ref[:]
-    t_hi = jnp.max(key)  # works sorted or merely clustered
-
-    # Hoisted per-block unpack + derivations (VPU, once per block).
-    pos = pos_ref[:]
-    xq = pos & HALF
-    yq = pos >> 15
+    hwm = jnp.maximum(jnp.clip(scal_ref[0, 2], 1.0, KMAX_WIDTH),
+                      jnp.clip(scal_ref[0, 3], 1.0, KMAX_WIDTH)) * 0.5
     inv_p = 1.0 / pscale
-    # Continuous pixel-centre coords: footprint on axis u covers
-    # [gu + 0.5 - hw, gu + 0.5 + hw]; pixel i's coverage is the overlap
-    # with [i, i+1] (a width-1 box IS the bilinear tent).
-    gx = xq.astype(jnp.float32) * inv_p - 0.5
-    gy = yq.astype(jnp.float32) * inv_p - 0.5
+
+    # --- hoisted per-block unpack + in-kernel expand (VPU, once) ---
+    p0 = p0_ref[:]
+    p1 = p1_ref[:]
+    p0x = (p0 & HALF).astype(jnp.float32) * inv_p
+    p0y = (p0 >> 15).astype(jnp.float32) * inv_p
+    p1x = (p1 & HALF).astype(jnp.float32) * inv_p
+    p1y = (p1 >> 15).astype(jnp.float32) * inv_p
+    dx = p1x - p0x
+    dy = p1y - p0y
+    length = jnp.sqrt(dx * dx + dy * dy)
+
+    # Segment key tile (the sort key, reproduced bit-exactly) + region
+    # extents for the per-sample fits test.
+    seg_top_x = jnp.maximum(jnp.minimum(p0x, p1x) - hwm, 0.0)
+    seg_top_y = jnp.maximum(jnp.minimum(p0y, p1y) - hwm, 0.0)
+    seg_row = jnp.floor(seg_top_y).astype(jnp.int32) // TILE_H
+    seg_col = jnp.floor(seg_top_x).astype(jnp.int32) // TILE_W
+    seg_key = seg_row * tiles_x + seg_col
+    reg_y_hi = (seg_row * TILE_H).astype(jnp.float32) + REGION_H
+    reg_x_hi = (seg_col * TILE_W).astype(jnp.float32) + REGION_W
+
+    vl = vl_ref[:]
+    live = (vl >> 30).astype(jnp.float32)
+    vel_u = vl & (2 ** 30 - 1)
+    ascale_seg = live * jnp.maximum(length, 1.0) / samples
 
     def unq(q, lo, hi):
         return q.astype(jnp.float32) * ((hi - lo) / HALF) + lo
 
-    vel = vel_ref[:]
-    vx = unq(vel & HALF, -1.0, 1.0) * speed_limit
-    vy = unq(vel >> 15, -1.0, 1.0) * speed_limit
-    # Colours ride 8 bits per channel over [0, COLOR_MAX) — the reference
-    # displays on an 8-bit canvas, and trail accumulation averages the
-    # quantisation out.
+    vx = unq(vel_u & HALF, -1.0, 1.0) * speed_limit
+    vy = unq(vel_u >> 15, -1.0, 1.0) * speed_limit
     rgba = rgba_ref[:]
     c8 = COLOR_MAX / 255.0
     cr = (rgba & 255).astype(jnp.float32) * c8
     cg = ((rgba >> 8) & 255).astype(jnp.float32) * c8
     cb = ((rgba >> 16) & 255).astype(jnp.float32) * c8
     ca = ((rgba >> 24) & 127).astype(jnp.float32) * (COLOR_MAX / 127.0)
-    ascale = as_ref[:]
-
     wf = jnp.minimum(jnp.sqrt(vx * vx + vy * vy) / speed_limit, 1.0)
-    af = jnp.minimum(wf * ascale, 1.0 - 1e-4)
-    av = jnp.clip(ca * ascale, 0.0, 1.0 - 1e-4)
 
-    chan = [vx * af, vy * af, wf * af, af, jnp.log1p(-af),
-            cr * av, cg * av, cb * av, ca * av, av, jnp.log1p(-av)]
+    keys = []    # per-sample tile keys, [samples][SEG]
+    gxs = []     # continuous pixel-centre coords
+    gys = []
+    chans = []   # 11 accumulation channels per sample
+    for s in range(samples):
+        ts = (s + 0.5) / samples
+        xp = jnp.clip(p0x + dx * ts, 1.0, PAD_LO_W + w + 1.0)
+        yp = jnp.clip(p0y + dy * ts, 1.0, PAD_LO_H + h + 1.0)
+        moved = ((p0x + dx * ts != xp) | (p0y + dy * ts != yp))
+        a = jnp.where(moved, 0.0, ascale_seg)
 
-    # Hoisted per-window key ranges for the pl.when gates (computed once per
-    # block — per-visit exact-membership reductions cost ~µs each on the
-    # scalar unit and dominate at thousands of visits). Ranges are tight
-    # because expand keys samples by their SEGMENT's tile (exactly sorted
-    # runs; only rare long-segment strays widen a window's range).
-    wlo = [jnp.min(key[w * WIN:(w + 1) * WIN]) for w in range(N_WIN)]
-    whi = [jnp.max(key[w * WIN:(w + 1) * WIN]) for w in range(N_WIN)]
+        xq = jnp.round(xp * pscale).astype(jnp.int32)
+        yq = jnp.round(yp * pscale).astype(jnp.int32)
+        gxq = xq.astype(jnp.float32) * inv_p - 0.5
+        gyq = yq.astype(jnp.float32) * inv_p - 0.5
+        fits = ((gyq + 0.5 + hwm <= reg_y_hi)
+                & (gxq + 0.5 + hwm <= reg_x_hi))
+        top_x = jnp.maximum(gxq + 0.5 - hwm, 0.0)
+        top_y = jnp.maximum(gyq + 0.5 - hwm, 0.0)
+        own_key = ((jnp.floor(top_y).astype(jnp.int32) // TILE_H) * tiles_x
+                   + (jnp.floor(top_x).astype(jnp.int32) // TILE_W))
+        keys.append(jnp.where(fits, seg_key, own_key))
+        gxs.append(gxq)
+        gys.append(gyq)
 
-    def tile_step(t):
+        af = jnp.minimum(wf * a, 1.0 - 1e-4)
+        av = jnp.clip(ca * a, 0.0, 1.0 - 1e-4)
+        chans.append([vx * af, vy * af, wf * af, af, jnp.log1p(-af),
+                      cr * av, cg * av, cb * av, ca * av, av,
+                      jnp.log1p(-av)])
+
+    seg = p0.shape[0]
+    n_win = max(1, seg // WIN)
+    # Per-(sample, window) key ranges for the gates + per-sample tile-parity
+    # colours (hoisted).
+    wlo = [[jnp.min(k[wi * WIN:(wi + 1) * WIN]) for wi in range(n_win)]
+           for k in keys]
+    whi = [[jnp.max(k[wi * WIN:(wi + 1) * WIN]) for wi in range(n_win)]
+           for k in keys]
+    colors_of = []
+    for k in keys:
+        ty = k // tiles_x
+        tx = k - ty * tiles_x
+        colors_of.append((ty % 2) * 2 + tx % 2)
+
+    def masked_min(pred, vals):
+        return jnp.min(jnp.where(pred, vals, _BIG))
+
+    def region_copy(t, slot, sem):
         ty = t // tiles_x
         tx = t - ty * tiles_x
-        row0 = ty * TILE_H
-        col0 = tx * TILE_W
+        return pltpu.make_async_copy(
+            out_ref.at[:, pl.ds(ty * TILE_H, REGION_H),
+                       pl.ds(tx * TILE_W, REGION_W)],
+            regions.at[slot], sem.at[slot])
 
-        load = pltpu.make_async_copy(
-            out_ref.at[:, pl.ds(row0, REGION_H), pl.ds(col0, REGION_W)],
-            region, sem_in)
-        load.start()
-        load.wait()
-
-        for w in range(N_WIN):
-            sl = slice(w * WIN, (w + 1) * WIN)
-
-            @pl.when((wlo[w] <= t) & (whi[w] >= t))
-            def _(w=w, sl=sl):
-                live = (key[sl] == t).astype(jnp.float32)
-                gyl = gy[sl] - row0  # continuous, region-relative
-                gxl = gx[sl] - col0
-
-                # Box-overlap weight builds. A/X in bf16: channel magnitudes
-                # are O(1) (colours <= 4, alphas <= 1, logs <= ~9, coverage
-                # <= 1), so the ~0.4% rounding is far below the splat's own
-                # quantisation; the MXU runs bf16 x bf16 -> f32 at full rate.
-                rows = jax.lax.broadcasted_iota(
-                    jnp.int32, (REGION_H, WIN), 0).astype(jnp.float32)
-                cols = jax.lax.broadcasted_iota(
-                    jnp.int32, (WIN, REGION_W), 1).astype(jnp.float32)
-
-                def cover(idx, centre, hw):
-                    lo = centre + (0.5 - hw)
-                    hi = centre + (0.5 + hw)
-                    return jnp.clip(jnp.minimum(idx + 1.0, hi)
-                                    - jnp.maximum(idx, lo), 0.0, 1.0)
-
-                def group(ch_lo, ch_hi, hw, inv_w, reg_lo, reg_hi):
-                    a_rows = cover(rows, gyl[None, :], hw) \
-                        * (live * inv_w)[None, :]
-                    a_mat = jnp.concatenate(
-                        [a_rows * chan[ch][sl][None, :]
-                         for ch in range(ch_lo, ch_hi)],
-                        axis=0).astype(jnp.bfloat16)
-                    x_mat = cover(cols, gxl[:, None],
-                                  hw).astype(jnp.bfloat16)
-                    contrib = jnp.dot(a_mat, x_mat,
-                                      preferred_element_type=jnp.float32)
-                    region[reg_lo:reg_hi] = region[reg_lo:reg_hi] \
-                        + contrib.reshape(ch_hi - ch_lo, REGION_H, REGION_W)
-
-                group(0, N_FLOW, hw_f, inv_wf, 0, N_FLOW)
-                group(N_FLOW, N_CHAN, hw_v, inv_wv, N_FLOW, N_CHAN)
-
-        store = pltpu.make_async_copy(
-            region,
-            out_ref.at[:, pl.ds(row0, REGION_H), pl.ds(col0, REGION_W)],
+    def store_copy(t, slot):
+        ty = t // tiles_x
+        tx = t - ty * tiles_x
+        return pltpu.make_async_copy(
+            regions.at[slot],
+            out_ref.at[:, pl.ds(ty * TILE_H, REGION_H),
+                       pl.ds(tx * TILE_W, REGION_W)],
             sem_out)
-        store.start()
-        store.wait()
 
-        return jnp.min(jnp.where(key > t, key, jnp.int32(2 ** 30)))
+    def visit_compute(t, slot):
+        reg = regions.at[slot]
+        ty = t // tiles_x
+        row0 = ty * TILE_H
+        col0 = (t - ty * tiles_x) * TILE_W
+        for s in range(samples):
+            for wi in range(n_win):
+                sl = slice(wi * WIN, (wi + 1) * WIN)
 
-    jax.lax.while_loop(lambda t: t <= t_hi, tile_step, jnp.min(key))
+                @pl.when((wlo[s][wi] <= t) & (whi[s][wi] >= t))
+                def _(s=s, wi=wi, sl=sl):
+                    livew = (keys[s][sl] == t).astype(jnp.float32)
+                    gyl = gys[s][sl] - row0  # continuous, region-relative
+                    gxl = gxs[s][sl] - col0
+
+                    # Box-overlap weight builds. A/X in bf16: channel
+                    # magnitudes are O(1), so the ~0.4% rounding is far
+                    # below the splat's own quantisation; the MXU runs
+                    # bf16 x bf16 -> f32 at full rate.
+                    rows = jax.lax.broadcasted_iota(
+                        jnp.int32, (REGION_H, WIN), 0).astype(jnp.float32)
+                    cols = jax.lax.broadcasted_iota(
+                        jnp.int32, (WIN, REGION_W), 1).astype(jnp.float32)
+
+                    def cover(idx, centre, hw):
+                        lo = centre + (0.5 - hw)
+                        hi = centre + (0.5 + hw)
+                        return jnp.clip(jnp.minimum(idx + 1.0, hi)
+                                        - jnp.maximum(idx, lo), 0.0, 1.0)
+
+                    def group(ch_lo, ch_hi, hw, inv_w, reg_lo, reg_hi):
+                        a_rows = cover(rows, gyl[None, :], hw) \
+                            * (livew * inv_w)[None, :]
+                        a_mat = jnp.concatenate(
+                            [a_rows * chans[s][ch][sl][None, :]
+                             for ch in range(ch_lo, ch_hi)],
+                            axis=0).astype(jnp.bfloat16)
+                        x_mat = cover(cols, gxl[:, None],
+                                      hw).astype(jnp.bfloat16)
+                        contrib = jnp.dot(
+                            a_mat, x_mat,
+                            preferred_element_type=jnp.float32)
+                        reg[reg_lo:reg_hi] = reg[reg_lo:reg_hi] \
+                            + contrib.reshape(ch_hi - ch_lo, REGION_H,
+                                              REGION_W)
+
+                    group(0, N_FLOW, hw_f, inv_wf, 0, N_FLOW)
+                    group(N_FLOW, N_CHAN, hw_v, inv_wv, N_FLOW, N_CHAN)
+
+    # Four parity passes; within each, prefetch the next region while the
+    # current one computes (disjoint by construction).
+    for p in range(4):
+        def next_key(t, p=p):
+            nxt = _BIG
+            for s in range(samples):
+                nxt = jnp.minimum(nxt, masked_min(
+                    (keys[s] > t) & (colors_of[s] == p), keys[s]))
+            return nxt
+
+        t0 = next_key(jnp.int32(-1))
+
+        @pl.when(t0 < _BIG)
+        def _(t0=t0, p=p, next_key=next_key):
+            region_copy(t0, 0, sem_in).start()
+
+            def body(carry):
+                t, slot = carry
+                t_next = next_key(t)
+
+                @pl.when(t_next < _BIG)
+                def _():
+                    region_copy(t_next, 1 - slot, sem_in).start()
+
+                region_copy(t, slot, sem_in).wait()
+                visit_compute(t, slot)
+                st = store_copy(t, slot)
+                st.start()
+                st.wait()
+                return t_next, 1 - slot
+
+            jax.lax.while_loop(lambda c: c[0] < _BIG, body,
+                               (t0, jnp.int32(0)))
 
 
 MAX_BLUR = 32  # static bound for the traced-radius blur
@@ -386,83 +479,6 @@ def _pack_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
             grefs[1][:] = idx_ref[:]
 
 
-def _expand_kernel(scal_ref, p0_ref, p1_ref, vl_ref, rgba_ref,
-                   key_ref, pos_ref, vel_ref, rgbao_ref, as_ref, *,
-                   samples, tiles_x, pscale, h, w):
-    """Sorted packed segments -> per-sample splat operands. Each grid block
-    maps SEG segments -> SEG*samples samples ([all s=0 | all s=1 | ...]).
-
-    Samples inherit their SEGMENT's bounding-box-top tile key (the pack
-    kernel's sort key) whenever the sample's whole deposit footprint fits
-    inside that key tile's [REGION_H, REGION_W] region — so expanded blocks
-    stay exactly-sorted runs and the splat kernel pays the sorted-minimum
-    number of region DMAs. Long segments' overflow samples (rare: a segment
-    spanning more than the region margin) fall back to their own
-    footprint-top tile, which the kernel's exact-membership gating absorbs
-    as strays."""
-    hwm = jnp.maximum(jnp.clip(scal_ref[0, 2], 1.0, KMAX_WIDTH),
-                      jnp.clip(scal_ref[0, 3], 1.0, KMAX_WIDTH)) * 0.5
-    inv_p = 1.0 / pscale
-
-    p0 = p0_ref[:]
-    p1 = p1_ref[:]
-    p0x = (p0 & HALF).astype(jnp.float32) * inv_p
-    p0y = (p0 >> 15).astype(jnp.float32) * inv_p
-    p1x = (p1 & HALF).astype(jnp.float32) * inv_p
-    p1y = (p1 >> 15).astype(jnp.float32) * inv_p
-    dx = p1x - p0x
-    dy = p1y - p0y
-    length = jnp.sqrt(dx * dx + dy * dy)
-
-    # Segment key tile (must reproduce the pack kernel's keym exactly).
-    seg_top_x = jnp.maximum(jnp.minimum(p0x, p1x) - hwm, 0.0)
-    seg_top_y = jnp.maximum(jnp.minimum(p0y, p1y) - hwm, 0.0)
-    seg_row = jnp.floor(seg_top_y).astype(jnp.int32) // TILE_H
-    seg_col = jnp.floor(seg_top_x).astype(jnp.int32) // TILE_W
-    seg_key = seg_row * tiles_x + seg_col
-    # Region extents downstream of the key tile's origin.
-    reg_y_hi = (seg_row * TILE_H).astype(jnp.float32) + REGION_H
-    reg_x_hi = (seg_col * TILE_W).astype(jnp.float32) + REGION_W
-
-    vl = vl_ref[:]
-    live = (vl >> 30).astype(jnp.float32)
-    vel_u = vl & (2 ** 30 - 1)
-    ascale_seg = live * jnp.maximum(length, 1.0) / samples
-
-    seg = p0.shape[0]
-    for s in range(samples):
-        ts = (s + 0.5) / samples
-        # Positions already in padded-grid coords; clamp keeps pad samples
-        # and stray geometry inside the safe margin.
-        xp = jnp.clip(p0x + dx * ts, 1.0, PAD_LO_W + w + 1.0)
-        yp = jnp.clip(p0y + dy * ts, 1.0, PAD_LO_H + h + 1.0)
-        moved = ((p0x + dx * ts != xp) | (p0y + dy * ts != yp))
-        a = jnp.where(moved, 0.0, ascale_seg)
-
-        xq = jnp.round(xp * pscale).astype(jnp.int32)
-        yq = jnp.round(yp * pscale).astype(jnp.int32)
-        gxq = xq.astype(jnp.float32) * inv_p - 0.5
-        gyq = yq.astype(jnp.float32) * inv_p - 0.5
-        # Deposit fits the segment key tile's region? (Sample tops can't
-        # precede the segment bbox top, so only the far edge needs checking.)
-        fits = ((gyq + 0.5 + hwm <= reg_y_hi)
-                & (gxq + 0.5 + hwm <= reg_x_hi))
-        # Fallback: own footprint top-left (clamped into the padded grid so
-        # weightless clamped/pad samples still key a legal tile).
-        top_x = jnp.maximum(gxq + 0.5 - hwm, 0.0)
-        top_y = jnp.maximum(gyq + 0.5 - hwm, 0.0)
-        own_key = ((jnp.floor(top_y).astype(jnp.int32) // TILE_H) * tiles_x
-                   + (jnp.floor(top_x).astype(jnp.int32) // TILE_W))
-        key = jnp.where(fits, seg_key, own_key)
-
-        sl_out = pl.ds(s * seg, seg)
-        key_ref[sl_out] = key
-        pos_ref[sl_out] = yq * (HALF + 1) + xq
-        vel_ref[sl_out] = vel_u
-        rgbao_ref[sl_out] = rgba_ref[:]
-        as_ref[sl_out] = a
-
-
 def pos_scale_for(grid_hw):
     """The fixed-point sub-pixel scale the fused draw uses for `grid_hw`."""
     hp, wp = _pad_dims(*grid_hw)
@@ -532,7 +548,6 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
         if idx is not None:
             # Distinct tail ids so pad rows un-sort to the end and slice off.
             idx = jnp.concatenate([idx, jnp.arange(n, n_pad, dtype=jnp.int32)])
-    m_pad = n_pad * samples
 
     # Gather-stream mode: packed key+id in one operand when both fit 31
     # bits, else two operands.
@@ -598,42 +613,31 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
     else:
         aux = None
 
-    # Pass 2: expand sorted segments to per-sample splat operands.
-    out_spec = pl.BlockSpec((seg_block * samples,), lambda b: (b,),
-                            memory_space=pltpu.VMEM)
-    key, pos_u, vel_u, rgba_u, ascale = pl.pallas_call(
-        functools.partial(_expand_kernel, samples=samples, tiles_x=tiles_x,
-                          pscale=pscale, h=h, w=w),
-        grid=(n_pad // seg_block,),
-        in_specs=([smem_scal] + [segspec] * 4),
-        out_specs=[out_spec] * 5,
-        out_shape=[jax.ShapeDtypeStruct((m_pad,), d)
-                   for d in (i32, i32, i32, i32, jnp.float32)],
-        interpret=interpret,
-    )(scal, p0u, p1u, vlu, rgbau)
-
+    # Pass 2: segment-direct splat — the kernel expands each segment to its
+    # deposit samples in-kernel (no per-sample HBM stream).
     accum0 = jnp.zeros((N_CHAN, hp, wp), jnp.float32)
-
-    blocked = pl.BlockSpec((BLOCK,), lambda b: (b,),
-                           memory_space=pltpu.VMEM)
+    splat_seg = BLOCK // samples
+    splat_spec = pl.BlockSpec((splat_seg,), lambda b: (b,),
+                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_kernel, tiles_x=tiles_x, pscale=pscale),
-        grid=(m_pad // BLOCK,),
+        functools.partial(_kernel, tiles_x=tiles_x, pscale=pscale,
+                          samples=samples, h=h, w=w),
+        grid=(n_pad // splat_seg,),
         in_specs=([smem_scal]
-                  + [blocked] * 5
+                  + [splat_spec] * 5
                   + [pl.BlockSpec(memory_space=pl.ANY)]),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((N_CHAN, hp, wp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((N_CHAN, REGION_H, REGION_W), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, N_CHAN, REGION_H, REGION_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
         input_output_aliases={6: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(scal, key, pos_u, vel_u, rgba_u, ascale, accum0)
+    )(scal, keym, p0u, p1u, vlu, rgbau, accum0)
 
     out = out[:, PAD_LO_H:PAD_LO_H + h, PAD_LO_W:PAD_LO_W + w]
     # Reassemble the flow payload: stamp num = time · wsum (constant stamp).

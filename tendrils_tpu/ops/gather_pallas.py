@@ -202,7 +202,7 @@ def bilinear_gather_keyed(grid, xs, ys, keys, interpret=None):
 
     Keys must follow the draw's convention (any tile whose
     [REGION_H, REGION_W] region contains the sample's corners — usually the
-    segment's bbox-top tile, see `draw_pallas._expand_kernel`)."""
+    segment's bbox-top tile, see `draw_pallas._pack_kernel`)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     c, h, w = grid.shape
