@@ -140,9 +140,23 @@ def force_from_aux(flow, aux, params, read_time, cfg: EngineConfig):
     eff = flow[:2] * jnp.maximum(
         0.0, 1.0 - (read_time - flow[2]) * params["flowDecay"])[None]
     f = bilinear_gather_keyed(eff, xs, ys, gkey_s)  # [2, M] sorted order
-    _, f0, f1 = jax.lax.sort([gidx_s, f[0], f[1]], num_keys=1)
+    # Un-sort with ONE value operand: the two force components ride a
+    # 15+15-bit fixed-point word over ±speedLimit (|flow payload| <=
+    # speedLimit by construction; quantisation ~3e-5 of the force scale).
+    sl = jnp.maximum(params["speedLimit"], 1e-12)
+
+    def q15(v):
+        t = jnp.clip(v / sl, -1.0, 1.0) * 0.5 + 0.5
+        return jnp.round(t * HALF).astype(jnp.int32)
+
+    packed = q15(f[1]) * (HALF + 1) + q15(f[0])
+    _, pk = jax.lax.sort([gidx_s, packed], num_keys=1)
     n = cfg.n
-    return jnp.stack([f0[:n], f1[:n]])
+
+    def unq(q):
+        return (q.astype(jnp.float32) * (2.0 / HALF) - 1.0) * sl
+
+    return jnp.stack([unq(pk[:n] & HALF), unq(pk[:n] >> 15)])
 
 
 def initial_force(sim: state_mod.SimState, params, cfg: EngineConfig,

@@ -224,7 +224,7 @@ def _kernel(scal_ref, keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref,
             regions.at[slot],
             out_ref.at[:, pl.ds(ty * TILE_H, REGION_H),
                        pl.ds(tx * TILE_W, REGION_W)],
-            sem_out)
+            sem_out.at[slot])
 
     def visit_compute(t, slot):
         reg = regions.at[slot]
@@ -292,22 +292,42 @@ def _kernel(scal_ref, keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref,
             region_copy(t0, 0, sem_in).start()
 
             def body(carry):
-                t, slot = carry
+                t, t_prev, slot, it = carry
                 t_next = next_key(t)
 
+                # Prefetch the next region into the other slot — first
+                # draining that slot's in-flight store (started two visits
+                # ago; same-parity regions are disjoint, so the only hazard
+                # is the scratch slot itself). DMA waits are
+                # semaphore-count based, so the descriptor only needs the
+                # matching shape.
                 @pl.when(t_next < _BIG)
                 def _():
+                    @pl.when(it >= 1)
+                    def _():
+                        store_copy(t_prev, 1 - slot).wait()
+
                     region_copy(t_next, 1 - slot, sem_in).start()
 
                 region_copy(t, slot, sem_in).wait()
                 visit_compute(t, slot)
-                st = store_copy(t, slot)
-                st.start()
-                st.wait()
-                return t_next, 1 - slot
+                store_copy(t, slot).start()
+                return t_next, t, 1 - slot, it + 1
 
-            jax.lax.while_loop(lambda c: c[0] < _BIG, body,
-                               (t0, jnp.int32(0)))
+            t_end, t_last, slot_out, it_f = jax.lax.while_loop(
+                lambda c: c[0] < _BIG, body,
+                (t0, t0, jnp.int32(0), jnp.int32(0)))
+            del t_end
+
+            # Drain the last (up to two) in-flight stores before the next
+            # parity pass, whose regions may overlap these.
+            @pl.when(it_f >= 1)
+            def _():
+                store_copy(t_last, 1 - slot_out).wait()
+
+            @pl.when(it_f >= 2)
+            def _():
+                store_copy(t_last, slot_out).wait()
 
 
 MAX_BLUR = 32  # static bound for the traced-radius blur
@@ -631,7 +651,7 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
         scratch_shapes=[
             pltpu.VMEM((2, N_CHAN, REGION_H, REGION_W), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         input_output_aliases={6: 0},
         compiler_params=pltpu.CompilerParams(
