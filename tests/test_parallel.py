@@ -86,3 +86,46 @@ def test_parallel_tendrils_facade(engine):
     p = np.asarray(engine.sim.particles)
     assert np.isfinite(p).all()
     assert np.abs(np.asarray(engine.sim.flow)[3]).sum() > 0
+
+
+def test_spatial_slab_matches_single(engine):
+    """Row-slab grid partition (reduce-scatter resolve + 2-channel force
+    all-gather) must reproduce the single-device frame — SURVEY §2.9's
+    high-resolution design, VERDICT r1 item 7."""
+    from tendrils_tpu.parallel import shard_sim_spatial, spatial_frame
+
+    eng = engine
+    # The slab step pre-decays then interpolates (like the pallas gather);
+    # compare against a single-device engine using the same order.
+    cfg = dataclasses.replace(eng.config, gather_backend="pallas")
+    params = eng.params()
+    t, dt = jnp.float32(16.0), jnp.float32(16.0)
+
+    ref = step_sim(eng.sim, params, t, dt, cfg, eng._view_size)
+    ref = draw_sim(ref, params, t, cfg, eng._view_size)
+
+    mesh = make_mesh()
+    sim_sharded = shard_sim_spatial(eng.sim, mesh)
+    out = spatial_frame(sim_sharded, params, t, dt, cfg,
+                        eng._view_size, mesh)
+
+    np.testing.assert_allclose(np.asarray(out.particles),
+                               np.asarray(ref.particles), rtol=1e-4,
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(out.flow), np.asarray(ref.flow),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.view), np.asarray(ref.view),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_spatial_multi_step_stable(engine):
+    from tendrils_tpu.parallel.spatial import SpatialTendrils
+    par = SpatialTendrils(engine)
+    for _ in range(3):
+        par.frame()
+    p = np.asarray(engine.sim.particles)
+    assert np.isfinite(p).all()
+    assert np.abs(np.asarray(engine.sim.flow)[3]).sum() > 0
+    # The view grid really is sharded by rows across the mesh.
+    shardings = engine.sim.flow.sharding
+    assert shardings.num_devices == 8
