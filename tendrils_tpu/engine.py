@@ -174,6 +174,36 @@ def initial_force(sim: state_mod.SimState, params, cfg: EngineConfig,
                            clustered=cfg.resident_sort > 0)
 
 
+def frame_fused(sim: state_mod.SimState, params, time, dt,
+                cfg: EngineConfig, view_size):
+    """STEP + DRAW as one fused pipeline (requires a carried force): the
+    logic step runs inside the pack kernel (`draw_pallas._step_pack_kernel`)
+    so the frame is pack(step+colours) → segment sort → splat → resolve.
+    Returns (sim', aux) — the caller computes the next carried force from
+    `aux` after any flow injections."""
+    from .ops import sample
+    from .ops.draw_pallas import fused_step_draw
+
+    _, _, colormap_uv = state_mod.particle_coords_from_idx(sim.idx,
+                                                           cfg.root_num)
+    mapped = sample.sample_uv(sim.color_map, colormap_uv.T) \
+        * params["colorMapAlpha"]
+    h, w = cfg.view_res
+    view0 = sim.view[0]
+    view0 = view0 * (1.0 - params["autoClearView"])
+    view0 = render.fade_fill(view0, params["fadeColor"] * params["autoFade"])
+
+    new_particles, new_flow, view0, aux = fused_step_draw(
+        sim.flow, view0, sim.particles, sim.targets, sim.force, sim.idx,
+        mapped, params, time, dt, view_size, grid_hw=(h, w),
+        root_num=cfg.root_num, samples=cfg.view_samples,
+        presort=(cfg.resident_sort == 0))
+    sim = dataclasses.replace(
+        sim, particles=new_particles, previous=sim.particles,
+        flow=new_flow, view=sim.view.at[0].set(view0), force=None)
+    return sim, aux
+
+
 def resort_sim(sim: state_mod.SimState, cfg: EngineConfig, view_size,
                params=None):
     """Reorder the particle rows by flow-grid tile of their position.
@@ -787,10 +817,15 @@ def _resort_jit(sim, cfg, view_size):
 def _frame_jit(sim, params, time, dt, cfg, view_size, resort=False):
     if resort:
         sim = resort_sim(sim, cfg, view_size, params)
-    sim = step_sim(sim, params, time, dt, cfg, view_size)
     if not carry_enabled(cfg):
+        sim = step_sim(sim, params, time, dt, cfg, view_size)
         return draw_sim(sim, params, time, cfg, view_size)
-    sim, aux = draw_sim(sim, params, time, cfg, view_size, want_aux=True)
+    if sim.force is not None:
+        sim, aux = frame_fused(sim, params, time, dt, cfg, view_size)
+    else:
+        sim = step_sim(sim, params, time, dt, cfg, view_size)
+        sim, aux = draw_sim(sim, params, time, cfg, view_size,
+                            want_aux=True)
     force = force_from_aux(sim.flow, aux, params, time + dt, cfg)
     return dataclasses.replace(sim, force=force)
 
@@ -832,12 +867,15 @@ def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
         sim = dataclasses.replace(sim,
                                   color_map=post_ops.blend(views, cm_alphas))
 
-    sim = step_sim(sim, params, time, dt, cfg, view_size)
     aux = None
-    if carry:
+    if carry and sim.force is not None:
+        sim, aux = frame_fused(sim, params, time, dt, cfg, view_size)
+    elif carry:
+        sim = step_sim(sim, params, time, dt, cfg, view_size)
         sim, aux = draw_sim(sim, params, time, cfg, view_size,
                             want_aux=True)
     else:
+        sim = step_sim(sim, params, time, dt, cfg, view_size)
         sim = draw_sim(sim, params, time, cfg, view_size)
 
     if seg is not None:
@@ -893,13 +931,12 @@ def run_headless(sim, params, cfg: EngineConfig, view_size, t0, dt, steps):
 
     def body(sim, i):
         time = t0 + dt * (i + 1)
-        sim = step_sim(sim, params, time, dt, cfg, view_size)
         if carry:
-            sim, aux = draw_sim(sim, params, time, cfg, view_size,
-                                want_aux=True)
+            sim, aux = frame_fused(sim, params, time, dt, cfg, view_size)
             force = force_from_aux(sim.flow, aux, params, time + dt, cfg)
             sim = dataclasses.replace(sim, force=force)
         else:
+            sim = step_sim(sim, params, time, dt, cfg, view_size)
             sim = draw_sim(sim, params, time, cfg, view_size)
         return sim, ()
 

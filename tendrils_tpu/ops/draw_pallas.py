@@ -33,6 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..const import INERT
+from .noise import snoise3_xyz
 from .splat import composite_over
 from .tile_geom import (PAD_LO_H, PAD_LO_W, REGION_H, REGION_W, TILE_H,
                         TILE_W, pad_dims as _pad_dims)
@@ -98,8 +100,9 @@ def _kernel(scal_ref, keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref,
     `samples` deposit points IN-KERNEL (no per-sample HBM stream at all)
     and accumulates both passes' box footprints via tile-visit matmuls.
 
-    scal: f32[1, 16] SMEM (speedLimit, time, flowWidth, lineWidth, + render
-    colour params — colours were already packed by the pack kernel).
+    scal: f32[1, 32] SMEM (speedLimit, time, flowWidth, lineWidth, + render
+    colour params — colours were already packed by the pack kernel; slots
+    16+ are the fused-step params, unused here).
 
     Tiles are visited in FOUR passes by (row, col) parity: within a pass,
     visited regions are disjoint (regions span 1.5 tiles; same-parity tiles
@@ -356,36 +359,12 @@ def _box_blur_traced(img, radius):
     return blur_axis(blur_axis(img, 1), 2)
 
 
-def _pack_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
-                 vy_ref, posx_ref, posy_ref, mr_ref, mg_ref, mb_ref,
-                 ma_ref, live_ref, *refs,
-                 tiles_x, pscale, h, w, gather=0):
-    """Pack per-segment attributes into 15-bit pairs + the segment's
-    footprint-top midpoint tile key (the sort then moves 5 int32 streams of
-    SEGMENTS — half the rows of a sample-level sort — and the expand pass
-    runs after the sort, emitting per-sample operands already clustered).
-
-    The render colour model (`src/render/index.vert:57-94`) runs HERE on the
-    VPU — base colour + colour-map value (`mr..ma`, pre-scaled by
-    colorMapAlpha) + velocity-direction→RGB alignment, alpha by speed rate ×
-    radial vignette — saving the separate XLA colour chain.
-
-    Endpoints are clamped into the padded margin before quantisation — a
-    particle >1px off-grid has its segment geometry clamped (its samples
-    would not deposit on-grid anyway); the live flag rides bit 30 of the
-    velocity word.
-
-    `gather`: 0 = draw stream only; 1 = also emit the NEXT-step flow-gather
-    key packed with the particle index (`gkey * 2^20 + idx`, one extra sort
-    operand); 2 = emit gkey and idx as two outputs (big-N/grid fallback).
-    The gather key is the segment key whenever p1's bilinear corners
-    (clamped to the content edge, GL CLAMP_TO_EDGE) lie inside the key
-    tile's region, else p1's own tile."""
-    if gather:
-        idx_ref = refs[0]
-        refs = refs[1:]
-    keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref = refs[:5]
-    grefs = refs[5:]
+def _pack_core(scal_ref, p0x, p0y, p1x, p1y, vx, vy, posx, posy,
+               mr, mg, mb, ma, live_in, idx,
+               keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref, grefs, *,
+               tiles_x, pscale, h, w, gather):
+    """Shared packing math over VALUE arrays (see _pack_kernel docstring);
+    also the tail of the fused step+pack kernel."""
     sl = jnp.maximum(scal_ref[0, 0], 1e-12)
 
     def qpos(x, y):
@@ -394,8 +373,8 @@ def _pack_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
         return (jnp.round(xp * pscale).astype(jnp.int32),
                 jnp.round(yp * pscale).astype(jnp.int32))
 
-    x0q, y0q = qpos(p0x_ref[:], p0y_ref[:])
-    x1q, y1q = qpos(p1x_ref[:], p1y_ref[:])
+    x0q, y0q = qpos(p0x, p0y)
+    x1q, y1q = qpos(p1x, p1y)
     p0_ref[:] = y0q * (HALF + 1) + x0q
     p1_ref[:] = y1q * (HALF + 1) + x1q
 
@@ -403,9 +382,9 @@ def _pack_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
         t = jnp.clip((v - lo) / (hi - lo), 0.0, 1.0)
         return jnp.round(t * HALF).astype(jnp.int32)
 
-    vnx = vx_ref[:] / sl
-    vny = vy_ref[:] / sl
-    live_bit = (live_ref[:] > 0.5).astype(jnp.int32) * (2 ** 30)
+    vnx = vx / sl
+    vny = vy / sl
+    live_bit = (live_in > 0.5).astype(jnp.int32) * (2 ** 30)
     vl_ref[:] = (live_bit + q15(vny, -1.0, 1.0) * (HALF + 1)
                  + q15(vnx, -1.0, 1.0))
 
@@ -435,18 +414,18 @@ def _pack_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
         return jnp.clip(v, 0.0, 1.0)
 
     ones = jnp.ones_like(vnx)
-    cr = (clip01(base[0] * base[3] * ones) + clip01(mr_ref[:] * ma_ref[:])
+    cr = (clip01(base[0] * base[3] * ones) + clip01(mr * ma)
           + clip01(flow_c[0] * fa[0] * flow_c[3]))
-    cg = (clip01(base[1] * base[3] * ones) + clip01(mg_ref[:] * ma_ref[:])
+    cg = (clip01(base[1] * base[3] * ones) + clip01(mg * ma)
           + clip01(flow_c[1] * fa[1] * flow_c[3]))
-    cb = (clip01(base[2] * base[3] * ones) + clip01(mb_ref[:] * ma_ref[:])
+    cb = (clip01(base[2] * base[3] * ones) + clip01(mb * ma)
           + clip01(flow_c[2] * fa[2] * flow_c[3]))
-    ca = (clip01(base[3] * ones) + clip01(ma_ref[:])
+    ca = (clip01(base[3] * ones) + clip01(ma)
           + clip01(flow_c[3] * ones))
 
     # Alpha: speed rate × clamped radial bezier vignette
     # (index.vert:92-94; curve (0.2, 1, 1), range [0.2, 1]).
-    d = jnp.sqrt(posx_ref[:] ** 2 + posy_ref[:] ** 2)
+    d = jnp.sqrt(posx ** 2 + posy ** 2)
     amt = jnp.minimum(1.0 - d, 1.0)
     ut = 1.0 - amt
     bz = (0.2 * ut + amt) * ut + amt
@@ -493,10 +472,113 @@ def _pack_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
         own = (r0g // TILE_H) * tiles_x + (c0g // TILE_W)
         gkey = jnp.where(fits, keym, own)
         if gather == 1:
-            grefs[0][:] = gkey * (2 ** 20) + idx_ref[:]
+            grefs[0][:] = gkey * (2 ** 20) + idx
         else:
             grefs[0][:] = gkey
-            grefs[1][:] = idx_ref[:]
+            grefs[1][:] = idx
+
+
+def _pack_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
+                 vy_ref, posx_ref, posy_ref, mr_ref, mg_ref, mb_ref,
+                 ma_ref, live_ref, *refs,
+                 tiles_x, pscale, h, w, gather=0):
+    """Pack per-segment attributes into 15-bit pairs + the segment's
+    footprint-top midpoint tile key (the sort then moves 5 int32 streams of
+    SEGMENTS — half the rows of a sample-level sort — and the expand pass
+    runs after the sort, emitting per-sample operands already clustered).
+
+    The render colour model (`src/render/index.vert:57-94`) runs HERE on the
+    VPU — base colour + colour-map value (`mr..ma`, pre-scaled by
+    colorMapAlpha) + velocity-direction→RGB alignment, alpha by speed rate ×
+    radial vignette — saving the separate XLA colour chain.
+
+    Endpoints are clamped into the padded margin before quantisation — a
+    particle >1px off-grid has its segment geometry clamped (its samples
+    would not deposit on-grid anyway); the live flag rides bit 30 of the
+    velocity word.
+
+    `gather`: 0 = draw stream only; 1 = also emit the NEXT-step flow-gather
+    key packed with the particle index (`gkey * 2^20 + idx`, one extra sort
+    operand); 2 = emit gkey and idx as two outputs (big-N/grid fallback).
+    The gather key is the segment key whenever p1's bilinear corners
+    (clamped to the content edge, GL CLAMP_TO_EDGE) lie inside the key
+    tile's region, else p1's own tile."""
+    if gather:
+        idx_ref = refs[0]
+        refs = refs[1:]
+    keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref = refs[:5]
+    grefs = refs[5:]
+    _pack_core(scal_ref, p0x_ref[:], p0y_ref[:], p1x_ref[:], p1y_ref[:],
+               vx_ref[:], vy_ref[:], posx_ref[:], posy_ref[:],
+               mr_ref[:], mg_ref[:], mb_ref[:], ma_ref[:], live_ref[:],
+               (idx_ref[:] if gather else None),
+               keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref, grefs,
+               tiles_x=tiles_x, pscale=pscale, h=h, w=w, gather=gather)
+
+
+def _bin_and_splat(scal, outs, gather, time, *, presort, tiles_x, pscale,
+                   samples, h, w, hp, wp, n_pad, interpret):
+    """Shared pipeline tail: segment sort (with the optional gather
+    stream), segment-direct splat kernel, payload reassembly. Returns
+    (flow_parts, view_parts, aux)."""
+    smem_scal = pl.BlockSpec((1, 32), lambda b: (0, 0),
+                             memory_space=pltpu.SMEM)
+    keym, p0u, p1u, vlu, rgbau = outs[:5]
+    gouts = list(outs[5:])
+
+    # Bin SEGMENTS by tile (5 packed int32 operands at half the sample
+    # count, + the gather stream when carried); the expand pass then emits
+    # per-sample operands that are already exactly-sorted runs (samples
+    # inherit their segment's key). Resident-sorted particles
+    # (presort=False) skip even this.
+    if presort:
+        sorted_ops = jax.lax.sort(
+            [keym, p0u, p1u, vlu, rgbau] + gouts, num_keys=1)
+        keym, p0u, p1u, vlu, rgbau = sorted_ops[:5]
+        gouts = list(sorted_ops[5:])
+
+    if gather == 1:
+        gidx_s = gouts[0] & ((1 << 20) - 1)
+        gkey_s = gouts[0] >> 20
+        aux = (gidx_s, gkey_s, p1u)
+    elif gather == 2:
+        aux = (gouts[1], gouts[0], p1u)
+    else:
+        aux = None
+
+    # Pass 2: segment-direct splat — the kernel expands each segment to its
+    # deposit samples in-kernel (no per-sample HBM stream).
+    accum0 = jnp.zeros((N_CHAN, hp, wp), jnp.float32)
+    splat_seg = BLOCK // samples
+    splat_spec = pl.BlockSpec((splat_seg,), lambda b: (b,),
+                              memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_kernel, tiles_x=tiles_x, pscale=pscale,
+                          samples=samples, h=h, w=w),
+        grid=(n_pad // splat_seg,),
+        in_specs=([smem_scal]
+                  + [splat_spec] * 5
+                  + [pl.BlockSpec(memory_space=pl.ANY)]),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((N_CHAN, hp, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, N_CHAN, REGION_H, REGION_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        input_output_aliases={6: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(scal, keym, p0u, p1u, vlu, rgbau, accum0)
+
+    out = out[:, PAD_LO_H:PAD_LO_H + h, PAD_LO_W:PAD_LO_W + w]
+    # Reassemble the flow payload: stamp num = time · wsum (constant stamp).
+    stamp_num = time * out[3]
+    fnum = jnp.concatenate([out[0:2], stamp_num[None], out[2:3]])
+    flow_parts = (fnum, out[3], out[4])
+    view_parts = (out[5:9], out[9], out[10])
+    return flow_parts, view_parts, aux
 
 
 def pos_scale_for(grid_hw):
@@ -586,14 +668,14 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
                    jnp.float32(flow_decay)]),
         jnp.asarray(base_color, jnp.float32),
         jnp.asarray(flow_color, jnp.float32),
-        jnp.zeros(1, jnp.float32)])[None]  # [1, 16]
+        jnp.zeros(17, jnp.float32)])[None]  # [1, 32]
     i32 = jnp.int32
 
     # Pass 1: pack segment attributes + in-kernel render colours + the
     # footprint-top midpoint tile key.
     segspec = pl.BlockSpec((seg_block,), lambda b: (b,),
                            memory_space=pltpu.VMEM)
-    smem_scal = pl.BlockSpec((1, 16), lambda b: (0, 0),
+    smem_scal = pl.BlockSpec((1, 32), lambda b: (0, 0),
                              memory_space=pltpu.SMEM)
     n_out = 5 + (1 if gather == 1 else (2 if gather == 2 else 0))
     pack_in = [scal, p0_pix[:, 0], p0_pix[:, 1], p1_pix[:, 0], p1_pix[:, 1],
@@ -610,61 +692,10 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
         out_shape=[jax.ShapeDtypeStruct((n_pad,), i32)] * n_out,
         interpret=interpret,
     )(*pack_in)
-    keym, p0u, p1u, vlu, rgbau = outs[:5]
-    gouts = list(outs[5:])
-
-    # Bin SEGMENTS by tile (5 packed int32 operands at half the sample
-    # count, + the gather stream when carried); the expand pass then emits
-    # per-sample operands that are already exactly-sorted runs (samples
-    # inherit their segment's key). Resident-sorted particles
-    # (presort=False) skip even this.
-    if presort:
-        sorted_ops = jax.lax.sort(
-            [keym, p0u, p1u, vlu, rgbau] + gouts, num_keys=1)
-        keym, p0u, p1u, vlu, rgbau = sorted_ops[:5]
-        gouts = list(sorted_ops[5:])
-
-    if gather == 1:
-        gidx_s = gouts[0] & ((1 << 20) - 1)
-        gkey_s = gouts[0] >> 20
-        aux = (gidx_s, gkey_s, p1u)
-    elif gather == 2:
-        aux = (gouts[1], gouts[0], p1u)
-    else:
-        aux = None
-
-    # Pass 2: segment-direct splat — the kernel expands each segment to its
-    # deposit samples in-kernel (no per-sample HBM stream).
-    accum0 = jnp.zeros((N_CHAN, hp, wp), jnp.float32)
-    splat_seg = BLOCK // samples
-    splat_spec = pl.BlockSpec((splat_seg,), lambda b: (b,),
-                              memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        functools.partial(_kernel, tiles_x=tiles_x, pscale=pscale,
-                          samples=samples, h=h, w=w),
-        grid=(n_pad // splat_seg,),
-        in_specs=([smem_scal]
-                  + [splat_spec] * 5
-                  + [pl.BlockSpec(memory_space=pl.ANY)]),
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((N_CHAN, hp, wp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((2, N_CHAN, REGION_H, REGION_W), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        input_output_aliases={6: 0},
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-        interpret=interpret,
-    )(scal, keym, p0u, p1u, vlu, rgbau, accum0)
-
-    out = out[:, PAD_LO_H:PAD_LO_H + h, PAD_LO_W:PAD_LO_W + w]
-    # Reassemble the flow payload: stamp num = time · wsum (constant stamp).
-    stamp_num = time * out[3]
-    fnum = jnp.concatenate([out[0:2], stamp_num[None], out[2:3]])
-    flow_parts = (fnum, out[3], out[4])
-    view_parts = (out[5:9], out[9], out[10])
+    flow_parts, view_parts, aux = _bin_and_splat(
+        scal, outs, gather, time, presort=presort, tiles_x=tiles_x,
+        pscale=pscale, samples=samples, h=h, w=w, hp=hp, wp=wp,
+        n_pad=n_pad, interpret=interpret)
     if idx is None:
         return flow_parts, view_parts
     return flow_parts, view_parts, aux
@@ -687,6 +718,213 @@ def _widen_excess(parts, width):
         lambda s: _box_blur_traced(s, radius),
         lambda s: s, stack) * scale
     return stack[:-2], stack[-2], stack[-1]
+
+
+def _step_pack_kernel(scal_ref, px_ref, py_ref, vx_ref, vy_ref, tx_ref,
+                      ty_ref, fx_ref, fy_ref, idx_ref, mr_ref, mg_ref,
+                      mb_ref, ma_ref, *refs, tiles_x, pscale, h, w,
+                      gather, root, seg_block):
+    """FUSED logic step + segment pack: one VPU pass runs the particle
+    update (`src/logic.frag:45-101` — noise wander + carried flow force +
+    target seek, damping, speed clamp, Euler, inert mask) and immediately
+    packs the resulting prev→new segment for the draw, so the step never
+    round-trips through HBM as a separate XLA chain.
+
+    Inputs: old state (px, py, vx, vy), targets (xy), the CARRIED flow
+    force at the old positions, `idx` = ORIGINAL particle ids (per-particle
+    variance/uv derive from them), colour-map values. Outputs: the 5(+1-2)
+    pack streams plus the new state rows (npx, npy, nvx, nvy). The
+    flow-gather stream packs ROW ids (block offset + lane), not `idx` — the
+    force un-sort must realign to row order.
+
+    scal f32[1, 32]: [0..14] as _pack_kernel; [16] dt, [17] damping,
+    [18] forceWeight, [19] varyForce, [20] flowWeight, [21] varyFlow,
+    [22] noiseWeight, [23] varyNoise, [24] noiseScale, [25] varyNoiseScale,
+    [26] noiseSpeed, [27] varyNoiseSpeed, [28] target, [29] varyTarget,
+    [30] viewSize.x, [31] viewSize.y."""
+    npx_ref, npy_ref, nvx_ref, nvy_ref = refs[-4:]
+    refs = refs[:-4]
+    keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref = refs[:5]
+    grefs = refs[5:]
+
+    px = px_ref[:]
+    py = py_ref[:]
+    vx = vx_ref[:]
+    vy = vy_ref[:]
+    time = scal_ref[0, 1]
+    dt = scal_ref[0, 16]
+    speed_limit = scal_ref[0, 0]
+    vsx = scal_ref[0, 30]
+    vsy = scal_ref[0, 31]
+
+    alive = (px != INERT) | (py != INERT)
+
+    # Per-particle constants from ORIGINAL ids (state.particle_coords_from_idx).
+    idxf = idx_ref[:].astype(jnp.float32)
+    ix = jnp.mod(idxf, root)
+    iy = jnp.floor(idxf / root)
+    uv0 = (ix + 0.5) / root
+    uv1 = (iy + 0.5) / root
+    index01 = ((ix + 0.5) + (iy + 0.5) * root) / (root * root)
+
+    def vary(base, variance):
+        return base + (index01 * variance * base)
+
+    # Wander force (ops/logic.py::wander_force).
+    noise_scale = vary(scal_ref[0, 24], scal_ref[0, 25])
+    noise_speed = vary(scal_ref[0, 26], scal_ref[0, 27])
+    ntime = time * noise_speed
+    wander_x = snoise3_xyz(px * noise_scale, py * noise_scale, uv0 + ntime)
+    wander_y = snoise3_xyz(px * noise_scale, py * noise_scale,
+                           uv1 + ntime + 1234.5678)
+
+    force_w = vary(scal_ref[0, 18], scal_ref[0, 19])
+    flow_w = vary(scal_ref[0, 20], scal_ref[0, 21])
+    noise_w = vary(scal_ref[0, 22], scal_ref[0, 23])
+
+    nvx = (vx * scal_ref[0, 17] * dt
+           + force_w * (fx_ref[:] * dt * flow_w + wander_x * dt * noise_w))
+    nvy = (vy * scal_ref[0, 17] * dt
+           + force_w * (fy_ref[:] * dt * flow_w + wander_y * dt * noise_w))
+
+    target_w = vary(scal_ref[0, 28], scal_ref[0, 29])
+    nvx = nvx + (tx_ref[:] - px) * target_w
+    nvy = nvy + (ty_ref[:] - py) * target_w
+
+    speed = jnp.sqrt(nvx * nvx + nvy * nvy)
+    vscale = jnp.minimum(speed, speed_limit) / jnp.maximum(speed, 1e-12)
+    nvx = nvx * vscale
+    nvy = nvy * vscale
+    npx = px + nvx
+    npy = py + nvy
+
+    npx = jnp.where(alive, npx, px)
+    npy = jnp.where(alive, npy, py)
+    nvx = jnp.where(alive, nvx, vx)
+    nvy = jnp.where(alive, nvy, vy)
+    npx_ref[:] = npx
+    npy_ref[:] = npy
+    nvx_ref[:] = nvx
+    nvy_ref[:] = nvy
+
+    # Segment geometry (coords.clip_to_pixel of pos * view_size).
+    p0x_pix = (px * vsx * 0.5 + 0.5) * w
+    p0y_pix = (py * vsy * 0.5 + 0.5) * h
+    p1x_pix = (npx * vsx * 0.5 + 0.5) * w
+    p1y_pix = (npy * vsy * 0.5 + 0.5) * h
+    live = alive.astype(jnp.float32)
+
+    # Flow-gather stream ids = ROW numbers (block offset + lane).
+    row_ids = (pl.program_id(0) * seg_block
+               + jax.lax.broadcasted_iota(jnp.int32, (seg_block, 1),
+                                          0).reshape(seg_block))
+
+    _pack_core(scal_ref, p0x_pix, p0y_pix, p1x_pix, p1y_pix, nvx, nvy,
+               npx, npy, mr_ref[:], mg_ref[:], mb_ref[:], ma_ref[:],
+               live, row_ids,
+               keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref, grefs,
+               tiles_x=tiles_x, pscale=pscale, h=h, w=w, gather=gather)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_hw", "samples",
+                                             "interpret", "presort",
+                                             "root_num"))
+def fused_step_draw_accumulate(grid_hw, particles, targets, force, idx,
+                               mapped, params, time, dt, view_size, *,
+                               root_num, samples=2, interpret=None,
+                               presort=True):
+    """Fused STEP + draw accumulate: runs the particle logic step inside
+    the pack kernel (carried-force fast path — `force` must hold the flow
+    force at the current positions), then the shared bin+splat pipeline.
+
+    Returns (new_particles f32[4, N], flow_parts, view_parts, aux)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    h, w = grid_hw
+    hp, wp = _pad_dims(h, w)
+    tiles_x = wp // TILE_W
+    pscale = _pos_scale(hp, wp)
+
+    n = particles.shape[1]
+    seg_block = BLOCK // samples
+    if n >= PACK_SEG and PACK_SEG % seg_block == 0:
+        seg_block = PACK_SEG
+    n_pad = (n + seg_block - 1) // seg_block * seg_block
+    if n_pad != n:
+        pad = n_pad - n
+        particles = jnp.concatenate([
+            jnp.pad(particles[:2], ((0, 0), (0, pad)),
+                    constant_values=INERT),
+            jnp.pad(particles[2:], ((0, 0), (0, pad)))], axis=0)
+        targets = jnp.pad(targets, ((0, 0), (0, pad)))
+        force = jnp.pad(force, ((0, 0), (0, pad)))
+        mapped = jnp.pad(mapped, ((0, 0), (0, pad)))
+        idx = jnp.concatenate([idx,
+                               jnp.arange(n, n_pad, dtype=jnp.int32)])
+
+    num_tiles = (hp // TILE_H) * tiles_x
+    gather = 1 if (n_pad <= (1 << 20) and num_tiles <= (1 << 11)) else 2
+
+    scal = jnp.concatenate([
+        jnp.stack([params["speedLimit"], jnp.float32(time),
+                   params["flowWidth"], params["lineWidth"],
+                   params["speedAlpha"],
+                   jnp.sin(time * params["flowDecay"]),
+                   params["flowDecay"]]),
+        jnp.asarray(params["baseColor"], jnp.float32),
+        jnp.asarray(params["flowColor"], jnp.float32),
+        jnp.zeros(1, jnp.float32),
+        jnp.stack([jnp.float32(dt), params["damping"],
+                   params["forceWeight"], params["varyForce"],
+                   params["flowWeight"], params["varyFlow"],
+                   params["noiseWeight"], params["varyNoise"],
+                   params["noiseScale"], params["varyNoiseScale"],
+                   params["noiseSpeed"], params["varyNoiseSpeed"],
+                   params["target"], params["varyTarget"]]),
+        jnp.asarray(view_size, jnp.float32)])[None]  # [1, 32]
+    i32 = jnp.int32
+
+    segspec = pl.BlockSpec((seg_block,), lambda b: (b,),
+                           memory_space=pltpu.VMEM)
+    smem_scal = pl.BlockSpec((1, 32), lambda b: (0, 0),
+                             memory_space=pltpu.SMEM)
+    n_out = 5 + (1 if gather == 1 else 2) + 4
+    outs = pl.pallas_call(
+        functools.partial(_step_pack_kernel, tiles_x=tiles_x,
+                          pscale=pscale, h=h, w=w, gather=gather,
+                          root=root_num, seg_block=seg_block),
+        grid=(n_pad // seg_block,),
+        in_specs=([smem_scal] + [segspec] * 13),
+        out_specs=[segspec] * n_out,
+        out_shape=([jax.ShapeDtypeStruct((n_pad,), i32)] * (n_out - 4)
+                   + [jax.ShapeDtypeStruct((n_pad,), jnp.float32)] * 4),
+        interpret=interpret,
+    )(scal, particles[0], particles[1], particles[2], particles[3],
+      targets[0], targets[1], force[0], force[1], idx,
+      mapped[0], mapped[1], mapped[2], mapped[3])
+    new_particles = jnp.stack(outs[-4:])[:, :n]
+    flow_parts, view_parts, aux = _bin_and_splat(
+        scal, outs[:-4], gather, jnp.float32(time), presort=presort,
+        tiles_x=tiles_x, pscale=pscale, samples=samples, h=h, w=w, hp=hp,
+        wp=wp, n_pad=n_pad, interpret=interpret)
+    return new_particles, flow_parts, view_parts, aux
+
+
+def fused_step_draw(flow, view, particles, targets, force, idx, mapped,
+                    params, time, dt, view_size, *, grid_hw, root_num,
+                    samples=2, interpret=None, presort=True):
+    """Full fused frame body: logic step + both draw passes + resolve, with
+    the flow-gather aux stream for the NEXT frame's carried force. Returns
+    (new_particles, new_flow, new_view, aux)."""
+    new_particles, flow_parts, view_parts, aux = fused_step_draw_accumulate(
+        grid_hw, particles, targets, force, idx, mapped, params, time, dt,
+        view_size, root_num=root_num, samples=samples, interpret=interpret,
+        presort=presort)
+    new_flow = composite_over(
+        flow, *_widen_excess(flow_parts, params["flowWidth"]))
+    new_view = composite_over(
+        view, *_widen_excess(view_parts, params["lineWidth"]))
+    return new_particles, new_flow, new_view, aux
 
 
 def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
