@@ -106,14 +106,21 @@ def _stack_lerp(stack, level):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("radii",))
-def vignette_blur(view, radius, limit, radii=(2, 6, 16)):
+@functools.partial(jax.jit, static_argnames=("radii", "grain"))
+def vignette_blur(view, radius, limit, radii=(2, 6, 16), grain=0.75):
     """Edge blur — ref `src/screen/blur.frag:24-32`.
 
     Per-pixel blur strength = `radius * (1 - vignette(uv, mid, limit,
     falloff)) * texel`; mapped onto the static blur stack. `radius`/`limit`
     stay traced.
-    """
+
+    The reference's `glsl-hash-blur` jitters its 20 tap directions with a
+    per-pixel sine hash, leaving a characteristic NOISE GRAIN in the
+    blurred zones; per-pixel random gathers are pathological on TPU, so the
+    grain is reproduced by hash-jittering the per-pixel stack LEVEL with
+    the same `fract(sin)` hash (`grain` scales it; 0 = smooth). Crisp
+    (level-0) pixels stay untouched, like the reference's unjittered
+    centre."""
     _, h, w = view.shape
     uv = coords.uv_grid((h, w))
     amount = 1.0 - vignette(uv, jnp.full((2,), MID), limit,
@@ -121,6 +128,10 @@ def vignette_blur(view, radius, limit, radii=(2, 6, 16)):
     strength = radius * amount  # in pixels of blur radius
     max_r = radii[-1]
     level = strength / max_r * (len(radii))
+    if grain:
+        from .rand import glsl_random
+        jitter = glsl_random(uv * jnp.asarray([w, h], jnp.float32)) - 0.5
+        level = level + jitter * grain * jnp.minimum(level, 1.0)
     stack = blur_stack(view, radii)
     blurred = _stack_lerp(stack, level)
     # Alpha passes through unblurred — ref blur.frag:30-31 keeps view alpha.

@@ -43,6 +43,23 @@ class TestBlur:
         out = np.asarray(post.vignette_blur(img, radius=20.0, limit=0.5))
         assert out[0, 32, 32] > out[0, 4, 4]  # edge impulse spread out more
 
+    def test_vignette_blur_hash_grain(self):
+        # The blurred zones carry the reference's hash-noise grain
+        # (`glsl-hash-blur`'s jittered taps, `screen/blur.frag:24-32`):
+        # grain>0 differs from the smooth blur in blurred regions, is
+        # deterministic, and leaves crisp (centre) pixels untouched.
+        rng = np.random.default_rng(2)
+        img = jnp.asarray(rng.uniform(0, 1, (4, 64, 64)), jnp.float32)
+        smooth = np.asarray(post.vignette_blur(img, 20.0, 0.5, grain=0.0))
+        grainy = np.asarray(post.vignette_blur(img, 20.0, 0.5, grain=0.75))
+        grainy2 = np.asarray(post.vignette_blur(img, 20.0, 0.5, grain=0.75))
+        np.testing.assert_array_equal(grainy, grainy2)  # deterministic
+        edge_delta = np.abs(grainy[:3, :8] - smooth[:3, :8]).mean()
+        centre_delta = np.abs(grainy[:3, 30:34, 30:34]
+                              - smooth[:3, 30:34, 30:34]).mean()
+        assert edge_delta > 1e-4
+        assert centre_delta <= edge_delta
+
     def test_bokeh_runs_and_preserves_alpha(self):
         rng = np.random.default_rng(1)
         img = jnp.asarray(rng.uniform(0, 1, (4, 32, 32)), jnp.float32)
