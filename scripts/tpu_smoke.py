@@ -97,9 +97,11 @@ def main():
     # Totals match to the kernel's 15-bit fixed-point + bf16 granularity.
     np.testing.assert_allclose(fws.sum(), np.asarray(ows).sum(), rtol=5e-3)
     np.testing.assert_allclose(flt.sum(), np.asarray(olt).sum(), rtol=5e-3)
+    # Velocity channels' sums nearly cancel (signed) — absolute tolerance
+    # scaled to the gross deposit mass, not relative.
     np.testing.assert_allclose(fnum.sum(axis=(1, 2)),
                                np.asarray(onum).sum(axis=(1, 2)),
-                               rtol=5e-3, atol=1e-3)
+                               rtol=5e-3, atol=5e-3 * float(fws.sum()))
     assert np.asarray(view_parts[1]).sum() > 0  # view deposited too
     print("fused_draw_accumulate compiled: ok", flush=True)
     print("tpu_smoke: ALL OK", flush=True)

@@ -69,6 +69,11 @@ class EngineConfig:
     # single-device pallas path with one flow LOD; invalidated by spawns and
     # external flow edits (the next frame gathers in-step).
     carry_force: bool = True
+    # Run the logic step INSIDE the pack kernel (frame_fused). Measured
+    # SLOWER than the separate XLA step chain on v5e (the in-kernel simplex
+    # noise lowers worse under Mosaic than under XLA fusion: 19.5 vs
+    # 17.4 ms/step at 1M/1080p) — kept for future tuning, off by default.
+    fused_step: bool = False
 
     @property
     def n(self) -> int:
@@ -820,7 +825,7 @@ def _frame_jit(sim, params, time, dt, cfg, view_size, resort=False):
     if not carry_enabled(cfg):
         sim = step_sim(sim, params, time, dt, cfg, view_size)
         return draw_sim(sim, params, time, cfg, view_size)
-    if sim.force is not None:
+    if sim.force is not None and cfg.fused_step:
         sim, aux = frame_fused(sim, params, time, dt, cfg, view_size)
     else:
         sim = step_sim(sim, params, time, dt, cfg, view_size)
@@ -868,7 +873,7 @@ def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
                                   color_map=post_ops.blend(views, cm_alphas))
 
     aux = None
-    if carry and sim.force is not None:
+    if carry and sim.force is not None and cfg.fused_step:
         sim, aux = frame_fused(sim, params, time, dt, cfg, view_size)
     elif carry:
         sim = step_sim(sim, params, time, dt, cfg, view_size)
@@ -931,8 +936,14 @@ def run_headless(sim, params, cfg: EngineConfig, view_size, t0, dt, steps):
 
     def body(sim, i):
         time = t0 + dt * (i + 1)
-        if carry:
+        if carry and cfg.fused_step:
             sim, aux = frame_fused(sim, params, time, dt, cfg, view_size)
+            force = force_from_aux(sim.flow, aux, params, time + dt, cfg)
+            sim = dataclasses.replace(sim, force=force)
+        elif carry:
+            sim = step_sim(sim, params, time, dt, cfg, view_size)
+            sim, aux = draw_sim(sim, params, time, cfg, view_size,
+                                want_aux=True)
             force = force_from_aux(sim.flow, aux, params, time + dt, cfg)
             sim = dataclasses.replace(sim, force=force)
         else:
