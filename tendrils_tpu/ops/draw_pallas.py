@@ -455,26 +455,29 @@ def _pack_core(scal_ref, p0x, p0y, p1x, p1y, vx, vy, posx, posy,
     krow = jnp.floor(top_y).astype(jnp.int32) // TILE_H
     kcol = jnp.floor(top_x).astype(jnp.int32) // TILE_W
     keym = krow * tiles_x + kcol
-    keym_ref[:] = keym
 
-    if gather:
-        # Flow-gather key for p1 (the NEXT step's read position): segment
-        # key if p1's clamped bilinear corners fit its region, else p1's
-        # own tile.
-        xcl = jnp.clip(x1q.astype(jnp.float32) * inv_p,
-                       PAD_LO_W + 0.5, PAD_LO_W + w - 0.5)
-        ycl = jnp.clip(y1q.astype(jnp.float32) * inv_p,
-                       PAD_LO_H + 0.5, PAD_LO_H + h - 0.5)
-        r0g = jnp.floor(ycl - 0.5).astype(jnp.int32)
-        c0g = jnp.floor(xcl - 0.5).astype(jnp.int32)
-        fits = ((r0g + 1 < krow * TILE_H + REGION_H)
-                & (c0g + 1 < kcol * TILE_W + REGION_W))
-        own = (r0g // TILE_H) * tiles_x + (c0g // TILE_W)
-        gkey = jnp.where(fits, keym, own)
-        if gather == 1:
-            grefs[0][:] = gkey * (2 ** 20) + idx
-        else:
-            grefs[0][:] = gkey
+    if gather == 1:
+        # COMBINED sort key: keym in the high bits, the row id in the low
+        # 20 — one operand serves as the sort key, the un-sort id, and
+        # (with rare strays re-derived post-sort from p1) the flow-gather
+        # key. Saves a whole sort operand; ordering within a tile becomes
+        # stable by row, a free determinism bonus. The splat kernel never
+        # reads this stream (it re-derives segment keys from geometry).
+        keym_ref[:] = keym * (2 ** 20) + idx
+    else:
+        keym_ref[:] = keym
+        if gather == 2:
+            # Big-N/grid fallback: explicit gather-key + id operands.
+            xcl = jnp.clip(x1q.astype(jnp.float32) * inv_p,
+                           PAD_LO_W + 0.5, PAD_LO_W + w - 0.5)
+            ycl = jnp.clip(y1q.astype(jnp.float32) * inv_p,
+                           PAD_LO_H + 0.5, PAD_LO_H + h - 0.5)
+            r0g = jnp.floor(ycl - 0.5).astype(jnp.int32)
+            c0g = jnp.floor(xcl - 0.5).astype(jnp.int32)
+            fits = ((r0g + 1 < krow * TILE_H + REGION_H)
+                    & (c0g + 1 < kcol * TILE_W + REGION_W))
+            own = (r0g // TILE_H) * tiles_x + (c0g // TILE_W)
+            grefs[0][:] = jnp.where(fits, keym, own)
             grefs[1][:] = idx
 
 
@@ -538,8 +541,24 @@ def _bin_and_splat(scal, outs, gather, time, *, presort, tiles_x, pscale,
         gouts = list(sorted_ops[5:])
 
     if gather == 1:
-        gidx_s = gouts[0] & ((1 << 20) - 1)
-        gkey_s = gouts[0] >> 20
+        # The combined key IS (keym << 20 | row id); the flow-gather key is
+        # keym except for the rare non-fitting strays, re-derived here from
+        # the sorted p1 (mirrors _pack_core's gather==2 branch).
+        gidx_s = keym & ((1 << 20) - 1)
+        keym_plain = keym >> 20
+        inv_p = 1.0 / pscale
+        xcl = jnp.clip((p1u & HALF).astype(jnp.float32) * inv_p,
+                       PAD_LO_W + 0.5, PAD_LO_W + w - 0.5)
+        ycl = jnp.clip((p1u >> 15).astype(jnp.float32) * inv_p,
+                       PAD_LO_H + 0.5, PAD_LO_H + h - 0.5)
+        r0g = jnp.floor(ycl - 0.5).astype(jnp.int32)
+        c0g = jnp.floor(xcl - 0.5).astype(jnp.int32)
+        krow = keym_plain // tiles_x
+        kcol = keym_plain - krow * tiles_x
+        fits = ((r0g + 1 < krow * TILE_H + REGION_H)
+                & (c0g + 1 < kcol * TILE_W + REGION_W))
+        own = (r0g // TILE_H) * tiles_x + (c0g // TILE_W)
+        gkey_s = jnp.where(fits, keym_plain, own)
         aux = (gidx_s, gkey_s, p1u)
     elif gather == 2:
         aux = (gouts[1], gouts[0], p1u)
@@ -677,7 +696,7 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
                            memory_space=pltpu.VMEM)
     smem_scal = pl.BlockSpec((1, 32), lambda b: (0, 0),
                              memory_space=pltpu.SMEM)
-    n_out = 5 + (1 if gather == 1 else (2 if gather == 2 else 0))
+    n_out = 5 + (2 if gather == 2 else 0)
     pack_in = [scal, p0_pix[:, 0], p0_pix[:, 1], p1_pix[:, 0], p1_pix[:, 1],
                vel[0], vel[1], pos_ndc[0], pos_ndc[1],
                mapped[0], mapped[1], mapped[2], mapped[3], live]
@@ -888,7 +907,7 @@ def fused_step_draw_accumulate(grid_hw, particles, targets, force, idx,
                            memory_space=pltpu.VMEM)
     smem_scal = pl.BlockSpec((1, 32), lambda b: (0, 0),
                              memory_space=pltpu.SMEM)
-    n_out = 5 + (1 if gather == 1 else 2) + 4
+    n_out = 5 + (2 if gather == 2 else 0) + 4
     outs = pl.pallas_call(
         functools.partial(_step_pack_kernel, tiles_x=tiles_x,
                           pscale=pscale, h=h, w=w, gather=gather,
