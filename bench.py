@@ -157,11 +157,15 @@ def bench_all(on_tpu):
                          of_uniforms=of_uniforms)
         of.step()
 
-    of_frame(0)  # warm-up compile
+    # Warm-up BOTH frame variants: the first frame has no carried force
+    # (cold structure), the second uses it — a single warm frame would leave
+    # the hot variant to compile inside the timed window.
+    of_frame(0)
+    of_frame(1)
     float(eng.sim.particles[0, 0])
     t0 = time.time()
     for i in range(frames):
-        of_frame(i + 1)
+        of_frame(i + 2)
     float(eng.sim.particles[0, 0])
     sec = (time.time() - t0) / frames
     _line("4:optical-flow-driven", eng.config.n, sec,
@@ -179,11 +183,14 @@ def bench_all(on_tpu):
         eng.frame()
         return bokeh(eng.sim.view[0], jnp.float32(3.0), jnp.float32(40.0))
 
-    float(show_frame(0)[0, 0, 0])  # warm-up compiles (frame + bokeh)
+    # Warm-up compiles for BOTH frame variants (cold first frame + the
+    # carried-force steady state) and bokeh.
+    float(show_frame(0)[0, 0, 0])
+    float(show_frame(1)[0, 0, 0])
     t0 = time.time()
     screen = None
     for i in range(frames):
-        screen = show_frame(i + 1)
+        screen = show_frame(i + 2)
     float(screen[0, 0, 0])
     sec = (time.time() - t0) / frames
     _line("5:16M-4K-live-show", eng.config.n, sec,
