@@ -14,14 +14,18 @@ from .ops import optical_flow as of_ops
 
 def image_to_grid(img):
     """`[H, W, 3|4]` uint8/float image (row 0 = top) -> engine grid
-    `f32[4, H, W]` (row 0 = clip bottom)."""
+    `f32[4, H, W]` (row 0 = clip bottom).
+
+    Returns a HOST (numpy) array: per-frame feeds hand it straight to the
+    jitted frame dispatch, so the device transfer rides the dispatch
+    instead of costing its own round-trip."""
     img = np.asarray(img)
     if img.dtype == np.uint8:
         img = img.astype(np.float32) / 255.0
     img = img[::-1]  # flip to the engine's bottom-up rows
     if img.shape[-1] == 3:
         img = np.concatenate([img, np.ones_like(img[..., :1])], axis=-1)
-    return jnp.asarray(np.moveaxis(img, -1, 0).copy(), jnp.float32)
+    return np.ascontiguousarray(np.moveaxis(img, -1, 0), np.float32)
 
 
 def grid_to_image(grid):
@@ -44,14 +48,18 @@ class OpticalFlow:
         self.buffers = [None, None]
 
     def set_pixels(self, frame):
-        """Upload the new frame into buffer 0 (`optical-flow/index.js:64-66`).
+        """Stage the new frame into buffer 0 (`optical-flow/index.js:64-66`).
 
         `frame`: `[H, W, C]` image array or an engine grid `f32[4, H, W]`.
+        The frame stays a HOST array here — handing numpy to the (single)
+        jitted frame dispatch transfers it as part of that dispatch, one
+        device round-trip per frame instead of an eager upload plus a
+        dispatch (on a remote-tunnelled device each round-trip is ~24 ms).
         """
         grid = (frame if (hasattr(frame, "shape") and len(frame.shape) == 3
                           and frame.shape[0] == 4)
                 else image_to_grid(frame))
-        grid = jnp.asarray(grid, jnp.float32)
+        grid = np.asarray(grid, np.float32)
         # scaleUV mirrors the lookup (`optical-flow/index.frag:56`,
         # demo uses [-1, -1] for mirrored cameras) — realised as frame flips
         # relative to the default [1, -1].
@@ -61,7 +69,7 @@ class OpticalFlow:
         if sy > 0:
             grid = grid[:, ::-1, :]
         if self.buffers[1] is None or self.buffers[1].shape != grid.shape:
-            self.buffers[1] = jnp.zeros_like(grid)
+            self.buffers[1] = np.zeros_like(grid)
         self.buffers[0] = grid
         return self
 
