@@ -153,7 +153,7 @@ def bench_all(on_tpu):
         img[:, (i * 8) % 600:(i * 8) % 600 + 40] = 1.0
         of.set_pixels(img)
         eng.timer.tick()
-        eng.step_draw_io(of_frames=(of.buffers[0], of.buffers[1]),
+        eng.step_draw_io(of_frames=of.device_buffers(),
                          of_uniforms=of_uniforms)
         of.step()
 

@@ -619,8 +619,7 @@ class TendrilsDemo:
         of_uniforms = None
         if draw_video and self.optical_flow_state["speed"]:
             self.optical_flow.set_pixels(self._video_frame)
-            of_frames = (self.optical_flow.buffers[0],
-                         self.optical_flow.buffers[1])
+            of_frames = self.optical_flow.device_buffers()
             of_uniforms = self.optical_flow_state
 
         self.screen = self.tendrils.step_draw_io(

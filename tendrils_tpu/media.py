@@ -6,6 +6,7 @@ arrays pushed from any source (camera client, video decoder, synthetic) and
 the flow kernel is `ops.optical_flow`.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -73,11 +74,22 @@ class OpticalFlow:
         self.buffers[0] = grid
         return self
 
+    def device_buffers(self):
+        """(current, last) frames as DEVICE arrays, converting lazily and
+        caching the device copy in the ring — so each frame pays exactly
+        one host→device transfer (the newly staged frame); the rotated
+        previous frame reuses its upload."""
+        self.buffers = [b if isinstance(b, jax.Array)
+                        else jnp.asarray(b, jnp.float32)
+                        for b in self.buffers]
+        return self.buffers[0], self.buffers[1]
+
     def update(self, time, **overrides):
         """Compute the flow payload between current and last frames."""
         u = dict(self.uniforms, **overrides)
+        cur, last = self.device_buffers()
         return of_ops.optical_flow(
-            self.buffers[0], self.buffers[1], time,
+            cur, last, time,
             offset=u["offset"], lambda_=u["lambda"], speed=u["speed"],
             speed_limit=u["speedLimit"])
 
