@@ -49,13 +49,12 @@ class OpticalFlow:
         self.buffers = [None, None]
 
     def set_pixels(self, frame):
-        """Stage the new frame into buffer 0 (`optical-flow/index.js:64-66`).
+        """Upload the new frame into buffer 0 (`optical-flow/index.js:64-66`).
 
         `frame`: `[H, W, C]` image array or an engine grid `f32[4, H, W]`.
-        The frame stays a HOST array here — handing numpy to the (single)
-        jitted frame dispatch transfers it as part of that dispatch, one
-        device round-trip per frame instead of an eager upload plus a
-        dispatch (on a remote-tunnelled device each round-trip is ~24 ms).
+        The upload starts here (async) so the transfer overlaps the host's
+        frame prep and the in-flight dispatch; the previous frame's device
+        copy is reused from the ring (one upload per frame).
         """
         grid = (frame if (hasattr(frame, "shape") and len(frame.shape) == 3
                           and frame.shape[0] == 4)
@@ -70,8 +69,8 @@ class OpticalFlow:
         if sy > 0:
             grid = grid[:, ::-1, :]
         if self.buffers[1] is None or self.buffers[1].shape != grid.shape:
-            self.buffers[1] = np.zeros_like(grid)
-        self.buffers[0] = grid
+            self.buffers[1] = jnp.zeros(grid.shape, jnp.float32)
+        self.buffers[0] = jnp.asarray(np.ascontiguousarray(grid))
         return self
 
     def device_buffers(self):
