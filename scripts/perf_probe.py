@@ -16,6 +16,7 @@ from bench import _run_scan  # noqa: E402
 
 
 def probe(resident, steps=30, root=1024):
+    import dataclasses
     cfg = EngineConfig(
         root_num=root, view_res=(1080, 1920),
         splat_backend="pallas", gather_backend="pallas",
@@ -29,6 +30,10 @@ def probe(resident, steps=30, root=1024):
     sim = _run_scan(eng.sim, params, cfg, eng._view_size, jnp.float32(0.0),
                     dt, steps)
     float(sim.particles[0, 0])
+    # Strip the carried force so the timed call keeps the SAME pytree
+    # structure as the warm-up (None-vs-array retraces + recompiles).
+    if sim.force is not None:
+        sim = dataclasses.replace(sim, force=None)
     t0 = time.time()
     sim = _run_scan(sim, params, cfg, eng._view_size,
                     jnp.float32(steps * dt), dt, steps)
