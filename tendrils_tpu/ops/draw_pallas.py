@@ -1,18 +1,21 @@
 """Fused draw: both render passes (flow payload + view colour) in ONE
-sort + ONE Pallas splat kernel.
+segment sort + ONE Pallas splat kernel.
 
 The reference draws particles twice per frame — GL_LINES into the flow FBO,
 then into the view buffer (`src/index.js:296-337`). Both passes splat the
 same segment samples, so on TPU they share one tile binning: 11 accumulation
 channels (flow: vel×α, weight×α, α, log-transmittance — the constant stamp is
-derived at resolve; view: colour×α, α, log-transmittance) land in one bf16
-MXU matmul per tile visit, A[11·REGION_H, BK] @ X[BK, REGION_W].
+derived at resolve; view: colour×α, α, log-transmittance) land in bf16
+MXU matmuls per tile visit, A[ch·REGION_H, WIN] @ X[WIN, REGION_W].
 
-Sort bandwidth is the hot cost, so sample attributes ride in 15-bit
-fixed-point pairs packed two-per-int32 (positions at 1/8 px, velocities over
-±speedLimit, colours over [0, 4)) — 6 sort operands instead of 10; the kernel
-unpacks and derives everything else (bilinear corners/weights, flow alpha,
-log-transmittances) on the VPU.
+Sort bandwidth is the hot cost (`lax.sort` ≈ 4.5 ms + 0.45 ms/operand per
+1M rows), so the sort runs at SEGMENT granularity (half the sample rows)
+over 5 packed int32 operands: a combined key (`tile << 20 | row id` — sort
+key, un-sort id and flow-gather key in one word), endpoint pairs at 1/8 px
+fixed point, velocity over ±speedLimit + live bit, rgba8 colours (computed
+in the pack kernel — the whole render colour model runs there). The splat
+kernel expands each segment's deposit samples in-kernel and derives
+everything else (box coverage, flow alpha, log-transmittances) on the VPU.
 
 Line width: the reference sets `gl.lineWidth` per pass (`flowWidth` for the
 flow pass, `lineWidth` for the view pass — `src/index.js:302,336`). Here each
@@ -63,8 +66,9 @@ N_CHAN = 11
 N_FLOW = 5  # flow channels (vx·α, vy·α, wf·α, α, log(1-α)) lead the stack
 HALF = 32767  # 15-bit field max
 COLOR_MAX = 4.0  # colour channels clamp range for fixed-point
-# Max in-kernel line width: a sample keyed by its footprint's top-left can
-# deposit rows [0, 15 + width) of its region — REGION_H=24 budgets width<=8.
+# Max in-kernel line width: a sample keyed by its segment's bbox-top tile
+# deposits inside that tile's region; REGION_H=32 splits its 16-row margin
+# between line width (<=8) and segment extent (~8 px of travel).
 KMAX_WIDTH = 8.0
 
 
