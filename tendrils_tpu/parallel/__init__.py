@@ -15,6 +15,18 @@ is particle count × grid resolution:
     device resolves and stores only its slab, and the step's flow read
     all-gathers just the 2 pre-decayed force channels — ~0.58x the ICI
     bytes and 1/D the grid memory of replicate+psum.
+
+Multi-host mapping (design note; this machine exposes one host): the mesh
+extends to `(hosts, chips)` via `jax.distributed.initialize` +
+`jax.make_mesh`. Particles shard over the flattened axis (collective-free
+map phase, so DP crosses DCN harmlessly); the grid reduction should keep
+its heavy traffic on ICI by reducing per-host first — `psum` over the
+chip axis, then the (much smaller, already-reduced) partials over the host
+axis — which XLA does automatically for a `psum` over both axes of a
+`(hosts, chips)` mesh since the ICI axis is innermost. The slab layout
+additionally wants slabs assigned host-contiguously so the step's
+all-gather of the force channels rides ICI within a host before one
+DCN hop.
 """
 
 from .sharding import make_mesh, parallel_frame, shard_sim
