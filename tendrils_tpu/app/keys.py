@@ -6,7 +6,6 @@ the reference's two layouts (performance by default, editor with
 arrows adjust the held field, release records a keyframe.
 """
 
-from .presets import PRESETS
 
 
 def _state_num(demo, key, scale):

@@ -13,7 +13,6 @@ splat's row falloff; documented deviation.
 
 import numpy as np
 
-from .ops import coords
 
 
 class FlowLine:

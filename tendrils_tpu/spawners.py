@@ -9,7 +9,6 @@ particle ping-pong or the targets buffer exactly like the reference's
 `spawnShader` destinations.
 """
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp
