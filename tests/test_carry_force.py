@@ -81,6 +81,63 @@ def test_carry_headless_scan_matches_interactive():
                                rtol=1e-3, atol=5e-4)
 
 
+def test_gather2_fallback_on_big_grids():
+    """Grids with >2^11 tiles (4K-class) can't pack the gather key with the
+    row id in 31 bits — the aux stream falls back to two sort operands
+    (`gather==2`). Exercised by the 4M/16M bench configs on TPU; this
+    covers the branch in CI."""
+    import jax.numpy as jnp
+    from tendrils_tpu.ops.draw_pallas import fused_draw_accumulate
+    from tendrils_tpu.ops.gather_pallas import bilinear_gather_keyed
+    from tendrils_tpu.ops.tile_geom import TILE_H, TILE_W, pad_dims
+
+    h, w = 1024, 8064
+    hp, wp = pad_dims(h, w)
+    assert (hp // TILE_H) * (wp // TILE_W) > (1 << 11)  # forces gather==2
+
+    rng = np.random.RandomState(5)
+    n = 64
+    p0 = jnp.asarray(
+        np.stack([rng.uniform(4, w - 4, n), rng.uniform(4, h - 4, n)], -1),
+        jnp.float32)
+    p1 = p0 + jnp.asarray(rng.uniform(-2, 2, (n, 2)), jnp.float32)
+    vel = jnp.asarray(rng.uniform(-0.008, 0.008, (2, n)), jnp.float32)
+    out = fused_draw_accumulate(
+        (h, w), p0, p1, vel, jnp.zeros((2, n)), jnp.zeros((4, n)),
+        jnp.ones((n,)), jnp.float32(0.01), jnp.float32(16.0),
+        idx=jnp.arange(n, dtype=jnp.int32), samples=2,
+        base_color=jnp.asarray([1.0, 1.0, 1.0, 0.5]),
+        speed_alpha=jnp.float32(1e-6))
+    flow_parts, view_parts, aux = out
+    gidx, gkey, p1u = [np.asarray(a) for a in aux]
+    # ids are a permutation (pads carry tail ids); keys are legal tiles.
+    np.testing.assert_array_equal(np.sort(gidx), np.arange(gidx.size))
+    assert gkey.min() >= 0
+    assert gkey.max() < (hp // TILE_H) * (wp // TILE_W)
+    assert np.asarray(flow_parts[1]).sum() > 0  # deposits landed
+
+    # The keyed gather consumes the stream (wide grid, clustered order).
+    grid = jnp.asarray(rng.rand(2, h, w), jnp.float32)
+    from tendrils_tpu.ops.draw_pallas import HALF, pos_scale_for
+    from tendrils_tpu.ops.tile_geom import PAD_LO_H, PAD_LO_W
+    inv_p = 1.0 / pos_scale_for((h, w))
+    xs = np.clip((p1u & HALF).astype(np.float32) * inv_p,
+                 PAD_LO_W + 0.5, PAD_LO_W + w - 0.5)
+    ys = np.clip((p1u >> 15).astype(np.float32) * inv_p,
+                 PAD_LO_H + 0.5, PAD_LO_H + h - 0.5)
+    f = np.asarray(bilinear_gather_keyed(grid, jnp.asarray(xs),
+                                         jnp.asarray(ys),
+                                         jnp.asarray(gkey)))
+    assert np.isfinite(f).all()
+    # Spot-check the live rows against the XLA bilinear oracle.
+    from tendrils_tpu.ops import sample
+    want = np.asarray(sample.bilinear_sample(
+        grid, jnp.asarray(xs - PAD_LO_W), jnp.asarray(ys - PAD_LO_H)))
+    live_rows = gidx < n
+    np.testing.assert_allclose(f[:, live_rows], want[:, live_rows],
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_carry_io_frame_sees_injections():
     # step_draw_io gathers the carried force AFTER flow-line injection: the
     # next step must feel the injected flow.
