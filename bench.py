@@ -51,7 +51,9 @@ import functools
                    donate_argnums=(0,))
 def _run_scan(sim, params, cfg, view_size, t0, dt, steps):
     from tendrils_tpu.engine import run_headless
-    return run_headless(sim, params, cfg, view_size, t0, dt, steps)
+    # No bench config spawns targets — skip riding the targets rows.
+    return run_headless(sim, params, cfg, view_size, t0, dt, steps,
+                        targets_live=False)
 
 
 def _scan_once(eng, steps, params=None, t0=0.0):

@@ -74,6 +74,13 @@ class EngineConfig:
     # noise lowers worse under Mosaic than under XLA fusion: 19.5 vs
     # 17.4 ms/step at 1M/1080p) — kept for future tuning, off by default.
     fused_step: bool = False
+    # Resident stream: the exact f32 particle state rides the fused draw's
+    # segment sort, so the SORTED order becomes the next frame's row order.
+    # The force un-sort (a whole second lax.sort crossing, ~4.7 ms at 1M)
+    # and its q15 quantisation disappear — the gather's output order IS row
+    # order. Row identity lives in `sim.idx` as before. Hot fused frame
+    # path only (step immediately before draw).
+    resident_stream: bool = True
 
     @property
     def n(self) -> int:
@@ -122,10 +129,23 @@ def carry_enabled(cfg: EngineConfig) -> bool:
             and cfg.flow_shape == cfg.view_res)
 
 
-def force_from_aux(flow, aux, params, read_time, cfg: EngineConfig):
+def resident_enabled(cfg: EngineConfig) -> bool:
+    """Whether the hot frame runs in resident-stream mode (state rides the
+    draw sort; see `EngineConfig.resident_stream`)."""
+    return (carry_enabled(cfg) and cfg.resident_stream
+            and cfg.resident_sort == 0 and not cfg.fused_step)
+
+
+def force_from_aux(flow, aux, params, read_time, cfg: EngineConfig,
+                   unsort=True):
     """Gather the next step's flow force from the CURRENT flow grid using
     the fused draw's segment-sorted aux stream — no sort on the way in (the
     stream is already tile-binned), one 3-operand un-sort on the way out.
+
+    With `unsort=False` (resident-stream mode) the sorted order IS the new
+    row order: the gather's exact f32 output is returned directly (pad rows
+    sort to the tail and slice off) — no second sort crossing, no q15
+    quantisation.
 
     `read_time` is the next frame's time (fixed-step exact; wall-clock
     timers approximate decay age by one frame — the payload stamps make the
@@ -145,6 +165,8 @@ def force_from_aux(flow, aux, params, read_time, cfg: EngineConfig):
     eff = flow[:2] * jnp.maximum(
         0.0, 1.0 - (read_time - flow[2]) * params["flowDecay"])[None]
     f = bilinear_gather_keyed(eff, xs, ys, gkey_s)  # [2, M] sorted order
+    if not unsort:
+        return f[:, :cfg.n]
     # Un-sort with ONE value operand: the two force components ride a
     # 15+15-bit fixed-point word over ±speedLimit (|flow payload| <=
     # speedLimit by construction; quantisation ~3e-5 of the force scale).
@@ -317,7 +339,8 @@ def step_sim(sim: state_mod.SimState, params, time, dt, cfg: EngineConfig,
 
 
 def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
-             view_size, axis_name=None, want_aux=False):
+             view_size, axis_name=None, want_aux=False, resident=False,
+             targets_live=True):
     """Flow + view render passes — ref `src/index.js:278-340`.
 
     With `axis_name` set (data-parallel shard_map over particles), the splat
@@ -328,7 +351,18 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
     flow-gather aux stream `(idx_s, gkey_s, p1_s)`, used by the frame
     functions to pre-gather the next step's flow force AFTER any flow
     injections (`force_from_aux`).
-    """
+
+    `resident=True` (hot frame path only — a step must immediately precede
+    this draw): the exact f32 particle state rides the segment sort, and
+    the returned sim is permuted into tile-sorted row order — `sim.idx`
+    tracks identity, the aux stream (and hence the carried force) comes
+    back already row-aligned, and the force un-sort disappears. `previous`
+    is reconstructed as `pos - vel` (exact inverse of the step's Euler
+    integrate for alive rows, ~1 ulp); its velocity half is approximated by
+    the CURRENT velocity — consumed only by the stochastic target-spawn
+    scorers, documented deviation. With `targets_live=False` (engine knows
+    no targets were ever spawned) the targets buffer doesn't ride and is
+    re-emitted as zeros."""
     pos = sim.particles[:2]
     vel = sim.particles[2:]
     prev_pos = sim.previous[:2]
@@ -371,17 +405,47 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
                                  * params["autoFade"])
         # The aux id is the ROW number (not sim.idx — rows may be resident
         # -permuted): the carried force must realign to current row order.
+        # In resident mode the aux id is sim.idx itself (the sorted ids
+        # BECOME the new sim.idx) and no realignment happens at all.
         n_local = pos.shape[1]
+        ride = None
+        idx_arg = None
+        if resident:
+            idx_arg = sim.idx
+            ride = [sim.particles[0], sim.particles[1],
+                    sim.particles[2], sim.particles[3]]
+            if targets_live:
+                ride += [sim.targets[0], sim.targets[1]]
+        elif want_aux:
+            idx_arg = jnp.arange(n_local, dtype=jnp.int32)
         out = fused_draw(
             sim.flow, view0, p0, p1, vel, pos, mapped, live, params, time,
             grid_hw=(h, w), samples=cfg.view_samples,
             presort=(cfg.resident_sort == 0),
-            idx=(jnp.arange(n_local, dtype=jnp.int32) if want_aux
-                 else None),
+            idx=idx_arg, ride=ride,
             psum=(None if axis_name is None
                   else functools.partial(jax.lax.psum,
                                          axis_name=axis_name)))
         new_flow, view0 = out[:2]
+        if resident:
+            aux, ride_s = out[2], out[3]
+            n = n_local
+            npx, npy, nvx, nvy = (r[:n] for r in ride_s[:4])
+            alive_s = (npx != INERT) | (npy != INERT)
+            particles = jnp.stack([npx, npy, nvx, nvy])
+            prev = jnp.stack([jnp.where(alive_s, npx - nvx, npx),
+                              jnp.where(alive_s, npy - nvy, npy),
+                              nvx, nvy])
+            if targets_live:
+                tz = jnp.zeros_like(npx)
+                targets = jnp.stack([ride_s[4][:n], ride_s[5][:n], tz, tz])
+            else:
+                targets = jnp.zeros_like(sim.targets)
+            new_sim = dataclasses.replace(
+                sim, particles=particles, previous=prev, targets=targets,
+                idx=aux[0][:n], flow=new_flow,
+                view=sim.view.at[0].set(view0))
+            return new_sim, aux
         new_sim = dataclasses.replace(sim, flow=new_flow,
                                       view=sim.view.at[0].set(view0))
         if want_aux:
@@ -453,6 +517,10 @@ class Tendrils:
         self._view_size = jnp.asarray(coords.cover_aspect((w, h)),
                                       jnp.float32)
         self._frame_idx = 0
+        # Whether the targets buffer may hold live data (a target spawn ran
+        # since setup). While False, the resident-stream frame skips riding
+        # the targets rows through the segment sort entirely.
+        self._targets_live = False
 
     # Per-particle constants derive from the (possibly resident-sorted) row
     # permutation `sim.idx` — see `state.particle_coords_from_idx`.
@@ -474,6 +542,18 @@ class Tendrils:
     @property
     def _frag_xy(self):
         return self._uv * self.config.root_num  # texel-centre frag coords
+
+    def _check_force_params(self):
+        """Invalidate the carried flow force if the params it baked
+        (flowDecay and the speedLimit q15 clamp — see `force_from_aux`)
+        changed host-side since it was gathered (ADVICE r2: param edits
+        were applied one frame late and could clip the force)."""
+        key = (float(self.state.get("flowDecay", 0.0)),
+               float(self.state.get("speedLimit", 0.0)))
+        if self.sim is not None and self.sim.force is not None \
+                and key != getattr(self, "_force_key", key):
+            self.sim = dataclasses.replace(self.sim, force=None)
+        self._force_key = key
 
     def _tick_resort(self):
         """Whether this frame starts with a resident resort (static jit arg
@@ -538,6 +618,7 @@ class Tendrils:
 
     def step(self):
         """Ref `src/index.js:248-272` (honours timer pause)."""
+        self._check_force_params()
         if not self.timer.paused:
             self.sim = _step_jit(self.sim, self.params(),
                                  jnp.float32(self.timer.time),
@@ -557,23 +638,27 @@ class Tendrils:
         """step + draw in ONE device dispatch (no timer tick) — for hosts
         that tick timers themselves (the demo loop); halves per-frame
         dispatch latency on remote devices."""
+        self._check_force_params()
         if self.timer.paused:
             return self.draw()
         self.sim = _frame_jit(self.sim, self.params(),
                               jnp.float32(self.timer.time),
                               jnp.float32(self.timer.dt), self.config,
-                              self._view_size, resort=self._tick_resort())
+                              self._view_size, resort=self._tick_resort(),
+                              targets_live=self._targets_live)
         return self
 
     def frame(self):
         """tick + step + draw — one fused jitted frame (the hot loop)."""
         self.timer.tick()
+        self._check_force_params()
         if self.timer.paused:
             return self.draw()
         self.sim = _frame_jit(self.sim, self.params(),
                               jnp.float32(self.timer.time),
                               jnp.float32(self.timer.dt), self.config,
-                              self._view_size, resort=self._tick_resort())
+                              self._view_size, resort=self._tick_resort(),
+                              targets_live=self._targets_live)
         return self
 
     # -- spawning
@@ -608,6 +693,7 @@ class Tendrils:
         elif target == "targets":
             new = op(self.sim.previous, self)
             self.sim = dataclasses.replace(self.sim, targets=new)
+            self._targets_live = True
         else:
             raise ValueError(f"unknown spawn target: {target}")
         return self
@@ -663,16 +749,13 @@ class Tendrils:
         `of_frames`: `(current, last)` optical-flow frame grids with
         `of_uniforms` dict (offset/lambda/speed); `blur`: `(radius, limit)`.
         Returns the post-processed screen image (or None without `blur`).
-        """
-        if self.timer.paused:
-            self.draw()
-            if blur is not None:
-                from .ops import post
-                return post.vignette_blur(self.sim.view[0],
-                                          jnp.float32(blur[0]),
-                                          jnp.float32(blur[1]))
-            return None
 
+        While the timer is paused only the STEP stage is skipped — colour
+        maps, pointer flow segments and optical-flow frames still land (the
+        reference keeps drawing flow-line/optical-flow input into the flow
+        FBO every frame, `demo.main.js:1107-1160`; ADVICE r2).
+        """
+        self._check_force_params()
         cm = None
         if color_maps is not None:
             cm = tuple(jnp.asarray(g, jnp.float32) for g in color_maps)
@@ -702,11 +785,13 @@ class Tendrils:
         if blur is not None:
             blur_t = (jnp.float32(blur[0]), jnp.float32(blur[1]))
 
+        paused = bool(self.timer.paused)
         self.sim, screen = _frame_io_jit(
             self.sim, self.params(), jnp.float32(self.timer.time),
             jnp.float32(self.timer.dt), self.config, self._view_size,
             cm, color_alphas, seg, of, blur_t,
-            resort=self._tick_resort())
+            resort=(False if paused else self._tick_resort()),
+            stepping=not paused, targets_live=self._targets_live)
         return screen
 
     def composite_flow(self, payload_grid):
@@ -817,21 +902,26 @@ def _resort_jit(sim, cfg, view_size):
     return resort_sim(sim, cfg, view_size)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "resort"),
+@functools.partial(jax.jit, static_argnames=("cfg", "resort",
+                                             "targets_live"),
                    donate_argnums=(0,))
-def _frame_jit(sim, params, time, dt, cfg, view_size, resort=False):
+def _frame_jit(sim, params, time, dt, cfg, view_size, resort=False,
+               targets_live=True):
     if resort:
         sim = resort_sim(sim, cfg, view_size, params)
     if not carry_enabled(cfg):
         sim = step_sim(sim, params, time, dt, cfg, view_size)
         return draw_sim(sim, params, time, cfg, view_size)
+    resident = resident_enabled(cfg)
     if sim.force is not None and cfg.fused_step:
         sim, aux = frame_fused(sim, params, time, dt, cfg, view_size)
     else:
         sim = step_sim(sim, params, time, dt, cfg, view_size)
         sim, aux = draw_sim(sim, params, time, cfg, view_size,
-                            want_aux=True)
-    force = force_from_aux(sim.flow, aux, params, time + dt, cfg)
+                            want_aux=True, resident=resident,
+                            targets_live=targets_live)
+    force = force_from_aux(sim.flow, aux, params, time + dt, cfg,
+                           unsort=not resident)
     return dataclasses.replace(sim, force=force)
 
 
@@ -847,17 +937,22 @@ def _inject_flow(flow, p0_pix, p1_pix, vel, width, params, time, cfg,
         backend=cfg.splat_backend)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "resort"),
+@functools.partial(jax.jit, static_argnames=("cfg", "resort", "stepping",
+                                             "targets_live"),
                    donate_argnums=(0,))
 def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
-                  seg, of, blur, resort=False):
+                  seg, of, blur, resort=False, stepping=True,
+                  targets_live=True):
     """One-dispatch interactive frame: [colormap blend] + step + draw +
     [flow-line inject] + [optical flow] + [vignette blur]. Optional stages
     are `None` (absence is part of the jit cache key via the pytree
-    structure). Ref per-frame stack: `demo.main.js:1024-1161`."""
+    structure). Ref per-frame stack: `demo.main.js:1024-1161`.
+
+    `stepping=False` (paused timer) skips only the logic step — the draw
+    and every io stage still land, like the reference's paused loop."""
     if resort:
         sim = resort_sim(sim, cfg, view_size, params)
-    carry = carry_enabled(cfg)
+    carry = carry_enabled(cfg) and stepping
     if not carry and sim.force is not None:
         sim = dataclasses.replace(sim, force=None)
 
@@ -873,12 +968,16 @@ def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
                                   color_map=post_ops.blend(views, cm_alphas))
 
     aux = None
-    if carry and sim.force is not None and cfg.fused_step:
+    resident = resident_enabled(cfg) and stepping
+    if not stepping:
+        sim = draw_sim(sim, params, time, cfg, view_size)
+    elif carry and sim.force is not None and cfg.fused_step:
         sim, aux = frame_fused(sim, params, time, dt, cfg, view_size)
     elif carry:
         sim = step_sim(sim, params, time, dt, cfg, view_size)
         sim, aux = draw_sim(sim, params, time, cfg, view_size,
-                            want_aux=True)
+                            want_aux=True, resident=resident,
+                            targets_live=targets_live)
     else:
         sim = step_sim(sim, params, time, dt, cfg, view_size)
         sim = draw_sim(sim, params, time, cfg, view_size)
@@ -905,7 +1004,8 @@ def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
         # Pre-gather the next step's flow force from the FINAL flow grid
         # (after injections — the reference's logic pass sees flow lines and
         # optical flow written this frame, `demo.main.js:1107-1160`).
-        force = force_from_aux(sim.flow, aux, params, time + dt, cfg)
+        force = force_from_aux(sim.flow, aux, params, time + dt, cfg,
+                               unsort=not resident)
         sim = dataclasses.replace(sim, force=force)
 
     screen = None
@@ -915,7 +1015,8 @@ def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
     return sim, screen
 
 
-def run_headless(sim, params, cfg: EngineConfig, view_size, t0, dt, steps):
+def run_headless(sim, params, cfg: EngineConfig, view_size, t0, dt, steps,
+                 targets_live=True):
     """Fixed-step headless run under `lax.scan` (SURVEY §7 pillar 2).
 
     Only the leaves a frame actually mutates ride the scan carry —
@@ -934,6 +1035,8 @@ def run_headless(sim, params, cfg: EngineConfig, view_size, t0, dt, steps):
     elif not carry and sim.force is not None:
         sim = dataclasses.replace(sim, force=None)
 
+    resident = resident_enabled(cfg)
+
     def body(sim, i):
         time = t0 + dt * (i + 1)
         if carry and cfg.fused_step:
@@ -943,8 +1046,10 @@ def run_headless(sim, params, cfg: EngineConfig, view_size, t0, dt, steps):
         elif carry:
             sim = step_sim(sim, params, time, dt, cfg, view_size)
             sim, aux = draw_sim(sim, params, time, cfg, view_size,
-                                want_aux=True)
-            force = force_from_aux(sim.flow, aux, params, time + dt, cfg)
+                                want_aux=True, resident=resident,
+                                targets_live=targets_live)
+            force = force_from_aux(sim.flow, aux, params, time + dt, cfg,
+                                   unsort=not resident)
             sim = dataclasses.replace(sim, force=force)
         else:
             sim = step_sim(sim, params, time, dt, cfg, view_size)

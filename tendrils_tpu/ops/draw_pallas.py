@@ -97,6 +97,19 @@ _BIG = 2 ** 30  # sentinel key (plain int: jnp constants can't be captured
 # by pallas kernel closures)
 
 
+def _win_split(seg):
+    """Split a block of `seg` segments into equal windows of ~WIN: the
+    smallest window count that divides `seg` evenly (windows must tile the
+    block exactly — a floored count would silently drop the tail's
+    deposits, and Mosaic needs static window shapes). For power-of-two
+    blocks this is exactly `seg / WIN`; odd sample counts (seg = BLOCK //
+    samples not a WIN multiple) get the nearest exact divisor."""
+    n_win = max(1, -(-seg // WIN))  # ceil
+    while seg % n_win:
+        n_win += 1
+    return n_win, seg // n_win
+
+
 def _kernel(scal_ref, keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref,
             accum_ref, out_ref, regions, sem_in, sem_out, *, tiles_x,
             pscale, samples, h, w):
@@ -200,12 +213,12 @@ def _kernel(scal_ref, keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref,
                       jnp.log1p(-av)])
 
     seg = p0.shape[0]
-    n_win = max(1, seg // WIN)
+    n_win, win = _win_split(seg)
     # Per-(sample, window) key ranges for the gates + per-sample tile-parity
     # colours (hoisted).
-    wlo = [[jnp.min(k[wi * WIN:(wi + 1) * WIN]) for wi in range(n_win)]
+    wlo = [[jnp.min(k[wi * win:(wi + 1) * win]) for wi in range(n_win)]
            for k in keys]
-    whi = [[jnp.max(k[wi * WIN:(wi + 1) * WIN]) for wi in range(n_win)]
+    whi = [[jnp.max(k[wi * win:(wi + 1) * win]) for wi in range(n_win)]
            for k in keys]
     colors_of = []
     for k in keys:
@@ -240,7 +253,7 @@ def _kernel(scal_ref, keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref,
         col0 = (t - ty * tiles_x) * TILE_W
         for s in range(samples):
             for wi in range(n_win):
-                sl = slice(wi * WIN, (wi + 1) * WIN)
+                sl = slice(wi * win, (wi + 1) * win)
 
                 @pl.when((wlo[s][wi] <= t) & (whi[s][wi] >= t))
                 def _(s=s, wi=wi, sl=sl):
@@ -253,9 +266,9 @@ def _kernel(scal_ref, keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref,
                     # below the splat's own quantisation; the MXU runs
                     # bf16 x bf16 -> f32 at full rate.
                     rows = jax.lax.broadcasted_iota(
-                        jnp.int32, (REGION_H, WIN), 0).astype(jnp.float32)
+                        jnp.int32, (REGION_H, win), 0).astype(jnp.float32)
                     cols = jax.lax.broadcasted_iota(
-                        jnp.int32, (WIN, REGION_W), 1).astype(jnp.float32)
+                        jnp.int32, (win, REGION_W), 1).astype(jnp.float32)
 
                     def cover(idx, centre, hw):
                         lo = centre + (0.5 - hw)
@@ -478,7 +491,12 @@ def _pack_core(scal_ref, p0x, p0y, p1x, p1y, vx, vy, posx, posy,
                            PAD_LO_H + 0.5, PAD_LO_H + h - 0.5)
             r0g = jnp.floor(ycl - 0.5).astype(jnp.int32)
             c0g = jnp.floor(xcl - 0.5).astype(jnp.int32)
-            fits = ((r0g + 1 < krow * TILE_H + REGION_H)
+            # Both bilinear corners must lie INSIDE the key tile's region —
+            # including the low edge: an edge-clamped p1 can land one
+            # row/col before the region start when PAD_LO+extent is a tile
+            # multiple (ADVICE r2), silently dropping that corner's weight.
+            fits = ((r0g >= krow * TILE_H) & (c0g >= kcol * TILE_W)
+                    & (r0g + 1 < krow * TILE_H + REGION_H)
                     & (c0g + 1 < kcol * TILE_W + REGION_W))
             own = (r0g // TILE_H) * tiles_x + (c0g // TILE_W)
             grefs[0][:] = jnp.where(fits, keym, own)
@@ -524,14 +542,21 @@ def _pack_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
 
 
 def _bin_and_splat(scal, outs, gather, time, *, presort, tiles_x, pscale,
-                   samples, h, w, hp, wp, n_pad, interpret):
+                   samples, h, w, hp, wp, n_pad, interpret, ride=None):
     """Shared pipeline tail: segment sort (with the optional gather
     stream), segment-direct splat kernel, payload reassembly. Returns
-    (flow_parts, view_parts, aux)."""
+    (flow_parts, view_parts, aux, ride_sorted).
+
+    `ride`: optional extra per-segment value streams (`[n_pad]` arrays)
+    that join the segment sort and come back tile-sorted — the resident
+    -stream mode rides the exact f32 particle state here, so the sorted
+    order becomes the NEXT frame's row order and the force un-sort
+    disappears entirely (see `engine.draw_sim`)."""
     smem_scal = pl.BlockSpec((1, 32), lambda b: (0, 0),
                              memory_space=pltpu.SMEM)
     keym, p0u, p1u, vlu, rgbau = outs[:5]
     gouts = list(outs[5:])
+    ride = list(ride) if ride is not None else []
 
     # Bin SEGMENTS by tile (5 packed int32 operands at half the sample
     # count, + the gather stream when carried); the expand pass then emits
@@ -540,9 +565,10 @@ def _bin_and_splat(scal, outs, gather, time, *, presort, tiles_x, pscale,
     # (presort=False) skip even this.
     if presort:
         sorted_ops = jax.lax.sort(
-            [keym, p0u, p1u, vlu, rgbau] + gouts, num_keys=1)
+            [keym, p0u, p1u, vlu, rgbau] + gouts + ride, num_keys=1)
         keym, p0u, p1u, vlu, rgbau = sorted_ops[:5]
-        gouts = list(sorted_ops[5:])
+        gouts = list(sorted_ops[5:5 + len(gouts)])
+        ride = list(sorted_ops[5 + len(gouts):])
 
     if gather == 1:
         # The combined key IS (keym << 20 | row id); the flow-gather key is
@@ -559,7 +585,9 @@ def _bin_and_splat(scal, outs, gather, time, *, presort, tiles_x, pscale,
         c0g = jnp.floor(xcl - 0.5).astype(jnp.int32)
         krow = keym_plain // tiles_x
         kcol = keym_plain - krow * tiles_x
-        fits = ((r0g + 1 < krow * TILE_H + REGION_H)
+        # Low-edge bound included — see the gather==2 fits test above.
+        fits = ((r0g >= krow * TILE_H) & (c0g >= kcol * TILE_W)
+                & (r0g + 1 < krow * TILE_H + REGION_H)
                 & (c0g + 1 < kcol * TILE_W + REGION_W))
         own = (r0g // TILE_H) * tiles_x + (c0g // TILE_W)
         gkey_s = jnp.where(fits, keym_plain, own)
@@ -601,7 +629,7 @@ def _bin_and_splat(scal, outs, gather, time, *, presort, tiles_x, pscale,
     fnum = jnp.concatenate([out[0:2], stamp_num[None], out[2:3]])
     flow_parts = (fnum, out[3], out[4])
     view_parts = (out[5:9], out[9], out[10])
-    return flow_parts, view_parts, aux
+    return flow_parts, view_parts, aux, ride
 
 
 def pos_scale_for(grid_hw):
@@ -613,7 +641,8 @@ def pos_scale_for(grid_hw):
 @functools.partial(jax.jit, static_argnames=("grid_hw", "samples",
                                              "interpret", "presort"))
 def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
-                          live, speed_limit, time, *, idx=None, samples=2,
+                          live, speed_limit, time, *, idx=None, ride=None,
+                          samples=2,
                           interpret=None, presort=True, flow_width=1.0,
                           line_width=1.0, speed_alpha=1.0, sin_decay=0.0,
                           flow_decay=0.0, base_color=None, flow_color=None):
@@ -639,6 +668,12 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
     keys and packed p1 coords in segment-sorted order, ready for
     `gather_pallas.bilinear_gather_keyed` with no further sorting (pad rows
     carry ids >= N and sort to the tail of the un-sort).
+
+    `ride`: optional sequence of `[N]` value streams joining the segment
+    sort (resident-stream mode); returned tile-sorted as a fourth element.
+    Pad rows sort strictly last (their keys clamp to the bottom-right
+    corner tile and their ids exceed every real id; `lax.sort` is stable),
+    so `ride_sorted[i][:N]` are exactly the real rows in sorted order.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -673,6 +708,8 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
         if idx is not None:
             # Distinct tail ids so pad rows un-sort to the end and slice off.
             idx = jnp.concatenate([idx, jnp.arange(n, n_pad, dtype=jnp.int32)])
+        if ride is not None:
+            ride = [jnp.pad(r, (0, pad)) for r in ride]
 
     # Gather-stream mode: packed key+id in one operand when both fit 31
     # bits, else two operands.
@@ -715,10 +752,12 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
         out_shape=[jax.ShapeDtypeStruct((n_pad,), i32)] * n_out,
         interpret=interpret,
     )(*pack_in)
-    flow_parts, view_parts, aux = _bin_and_splat(
+    flow_parts, view_parts, aux, ride_s = _bin_and_splat(
         scal, outs, gather, time, presort=presort, tiles_x=tiles_x,
         pscale=pscale, samples=samples, h=h, w=w, hp=hp, wp=wp,
-        n_pad=n_pad, interpret=interpret)
+        n_pad=n_pad, interpret=interpret, ride=ride)
+    if ride is not None:
+        return flow_parts, view_parts, aux, ride_s
     if idx is None:
         return flow_parts, view_parts
     return flow_parts, view_parts, aux
@@ -926,7 +965,7 @@ def fused_step_draw_accumulate(grid_hw, particles, targets, force, idx,
       targets[0], targets[1], force[0], force[1], idx,
       mapped[0], mapped[1], mapped[2], mapped[3])
     new_particles = jnp.stack(outs[-4:])[:, :n]
-    flow_parts, view_parts, aux = _bin_and_splat(
+    flow_parts, view_parts, aux, _ = _bin_and_splat(
         scal, outs[:-4], gather, jnp.float32(time), presort=presort,
         tiles_x=tiles_x, pscale=pscale, samples=samples, h=h, w=w, hp=hp,
         wp=wp, n_pad=n_pad, interpret=interpret)
@@ -952,7 +991,7 @@ def fused_step_draw(flow, view, particles, targets, force, idx, mapped,
 
 def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
                params, time, *, grid_hw, samples=2, interpret=None,
-               presort=True, idx=None, psum=None):
+               presort=True, idx=None, ride=None, psum=None):
     """Full fused draw: accumulate with in-kernel per-pass line widths
     (`flowWidth` for the flow deposit, `lineWidth` for the view deposit —
     ref `src/index.js:302,336` set `gl.lineWidth` per pass) and the in-kernel
@@ -967,7 +1006,7 @@ def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
     shards compose exactly."""
     out = fused_draw_accumulate(
         grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
-        params["speedLimit"], time, idx=idx, samples=samples,
+        params["speedLimit"], time, idx=idx, ride=ride, samples=samples,
         interpret=interpret, presort=presort,
         flow_width=params["flowWidth"], line_width=params["lineWidth"],
         speed_alpha=params["speedAlpha"],
@@ -983,6 +1022,8 @@ def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
         flow, *_widen_excess(flow_parts, params["flowWidth"]))
     new_view = composite_over(
         view, *_widen_excess(view_parts, params["lineWidth"]))
+    if ride is not None:
+        return new_flow, new_view, out[2], out[3]
     if idx is None:
         return new_flow, new_view
     return new_flow, new_view, out[2]

@@ -35,10 +35,15 @@ def test_carry_gate():
 def test_carry_matches_instep_gather():
     a = make(True)
     b = make(False)
+
+    # The carry path runs resident (rows tile-sorted) — compare by
+    # particle identity.
+    def ident(sim):
+        return np.asarray(sim.particles)[:, np.argsort(np.asarray(sim.idx))]
+
     # Positions quantised to 1/32 px (this grid) for the carried gather;
     # flow force differences stay far below velocity scale.
-    np.testing.assert_allclose(np.asarray(a.sim.particles),
-                               np.asarray(b.sim.particles),
+    np.testing.assert_allclose(ident(a.sim), ident(b.sim),
                                rtol=1e-3, atol=2e-5)
     np.testing.assert_allclose(np.asarray(a.sim.flow).sum(),
                                np.asarray(b.sim.flow).sum(), rtol=1e-3)

@@ -140,3 +140,27 @@ def test_demo_render_is_single_dispatch():
     demo.render()
     assert not forbidden
     assert demo.screen is not None
+
+
+def test_paused_io_still_applies_inputs():
+    """Paused timer skips only the STEP: colour maps, pointer segments and
+    optical flow still land (ref keeps drawing flow input every frame,
+    `demo.main.js:1107-1160`; ADVICE r2)."""
+    cm, alphas, seg, of = inputs()
+    eng = make_engine()
+    eng.timer.tick()
+    eng.timer.paused = True
+    particles_before = np.asarray(eng.sim.particles)
+    flow_before = np.asarray(eng.sim.flow)
+    screen = eng.step_draw_io(color_maps=cm, color_alphas=alphas,
+                              segments=seg, of_frames=of,
+                              of_uniforms={"offset": 0.05, "speed": 0.08},
+                              blur=(3.0, 1.0))
+    assert screen is not None
+    # No step: particle state unchanged.
+    np.testing.assert_array_equal(np.asarray(eng.sim.particles),
+                                  particles_before)
+    # Flow inputs landed: the flow grid changed where the segment splats.
+    assert not np.allclose(np.asarray(eng.sim.flow), flow_before)
+    # Colour map blended.
+    assert eng.sim.color_map.shape == (4, 4, 4)

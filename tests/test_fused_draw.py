@@ -215,3 +215,25 @@ def test_gather_predecay_matches_exact_path():
     # Velocities are O(1e-4); the two evaluation orders agree to ~2e-5
     # absolute (fp + quantization), far below the force scale.
     np.testing.assert_allclose(outs["pallas"], outs["xla"], atol=5e-5)
+
+
+def test_fused_odd_samples_mass_conserved():
+    """view_samples=3 makes the splat block's segment count a non-multiple
+    of the window size; every window must still be covered (ADVICE r2: a
+    floored window count silently dropped ~25% of deposits)."""
+    masses = {}
+    for samples in (2, 3, 4):
+        cfg = EngineConfig(root_num=16, view_res=(32, 128), flow_samples=2,
+                           flow_rows=1, view_samples=samples,
+                           splat_backend="pallas", gather_backend="pallas",
+                           fused_draw=True)
+        eng = Tendrils(cfg)
+        eng.setup()
+        eng.state["flowWidth"] = 1.0
+        eng.state["lineWidth"] = 1.0
+        eng.spawn_shader(lambda p, e: spawn.ball(p, e._frag_xy, 0.6, 0.01))
+        eng.frame()
+        masses[samples] = float(np.asarray(eng.sim.flow)[3].sum())
+    # Deposited flow mass is sample-count independent (alpha scales 1/s).
+    np.testing.assert_allclose(masses[3], masses[2], rtol=0.05)
+    np.testing.assert_allclose(masses[3], masses[4], rtol=0.05)

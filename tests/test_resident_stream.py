@@ -1,0 +1,98 @@
+"""Resident-stream mode: the exact f32 particle state rides the fused
+draw's segment sort, the sorted order becomes the next frame's row order,
+and the carried force comes back row-aligned with NO un-sort.
+
+Trajectories must match the classic carry path (which un-sorts a q15
+-quantised force) to quantisation tolerance, per particle identity
+(`sim.idx`), for multiple frames; `previous` must reconstruct `pos - vel`
+for alive rows.
+"""
+
+import numpy as np
+
+from tendrils_tpu import EngineConfig, Tendrils
+from tendrils_tpu.const import INERT
+from tendrils_tpu.engine import resident_enabled
+from tendrils_tpu.ops import spawn
+
+
+def make_engine(resident, root=16):
+    cfg = EngineConfig(root_num=root, view_res=(32, 128), flow_samples=2,
+                       flow_rows=1, view_samples=2, splat_backend="pallas",
+                       gather_backend="pallas", fused_draw=True,
+                       resident_stream=resident)
+    eng = Tendrils(cfg)
+    eng.setup()
+    eng.spawn_shader(lambda p, e: spawn.ball(p, e._frag_xy, 0.6, 0.01))
+    return eng
+
+
+def by_identity(sim):
+    """Particle rows re-ordered to identity (original idx) order."""
+    order = np.argsort(np.asarray(sim.idx))
+    return np.asarray(sim.particles)[:, order]
+
+
+def test_resident_matches_classic_carry():
+    a = make_engine(resident=True)
+    b = make_engine(resident=False)
+    assert resident_enabled(a.config) and not resident_enabled(b.config)
+    for _ in range(4):
+        a.frame()
+        b.frame()
+    pa, pb = by_identity(a.sim), by_identity(b.sim)
+    # b's force crossed a q15 pack (quantisation ~3e-5 of speedLimit per
+    # frame); a's is exact — tolerance covers the accumulated difference.
+    np.testing.assert_allclose(pa, pb, atol=5e-5)
+    # idx is a permutation.
+    idx = np.sort(np.asarray(a.sim.idx))
+    np.testing.assert_array_equal(idx, np.arange(a.config.n))
+    # Views/flows agree (order-independent deposits; the classic path's
+    # q15 force shifts positions ~1e-5, which can hop a sub-pixel rounding
+    # boundary and move a texel's share — compare loosely + by mass).
+    np.testing.assert_allclose(np.asarray(a.sim.flow),
+                               np.asarray(b.sim.flow), atol=5e-2)
+    np.testing.assert_allclose(np.asarray(a.sim.view),
+                               np.asarray(b.sim.view), atol=5e-2)
+    np.testing.assert_allclose(np.asarray(a.sim.flow).sum(),
+                               np.asarray(b.sim.flow).sum(), rtol=1e-3)
+
+
+def test_resident_previous_reconstruction():
+    eng = make_engine(resident=True)
+    for _ in range(2):
+        eng.frame()
+    p = np.asarray(eng.sim.particles)
+    prev = np.asarray(eng.sim.previous)
+    alive = (p[0] != INERT) | (p[1] != INERT)
+    assert alive.any()
+    # previous = pos - vel (exact Euler inverse) for alive rows; dead rows
+    # keep their position.
+    np.testing.assert_allclose(prev[0][alive], (p[0] - p[2])[alive],
+                               atol=1e-6)
+    np.testing.assert_allclose(prev[1][alive], (p[1] - p[3])[alive],
+                               atol=1e-6)
+    np.testing.assert_array_equal(prev[0][~alive], p[0][~alive])
+
+
+def test_resident_targets_ride():
+    """A target spawn flips `_targets_live`; the xy target rows then ride
+    the sort and stay row-aligned (seek force matches the classic path)."""
+    a = make_engine(resident=True)
+    b = make_engine(resident=False)
+    for eng in (a, b):
+        eng.state["target"] = 0.05
+        eng.spawn_shader(
+            lambda p, e: spawn.ball(p, e._frag_xy, 0.3, 0.005),
+            target="targets")
+    assert a._targets_live
+    for _ in range(3):
+        a.frame()
+        b.frame()
+    np.testing.assert_allclose(by_identity(a.sim), by_identity(b.sim),
+                               atol=5e-5)
+    # targets xy rode with the rows: same multiset, aligned to idx.
+    order_a = np.argsort(np.asarray(a.sim.idx))
+    ta = np.asarray(a.sim.targets)[:2][:, order_a]
+    tb = np.asarray(b.sim.targets)[:2]
+    np.testing.assert_allclose(ta, tb, atol=1e-6)
