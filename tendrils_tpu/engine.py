@@ -423,6 +423,8 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
             grid_hw=(h, w), samples=cfg.view_samples,
             presort=(cfg.resident_sort == 0),
             idx=idx_arg, ride=ride,
+            derive_p0=resident, view_size=(view_size if resident
+                                           else None),
             psum=(None if axis_name is None
                   else functools.partial(jax.lax.psum,
                                          axis_name=axis_name)))

