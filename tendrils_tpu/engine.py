@@ -393,9 +393,18 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
         from .ops.draw_pallas import fused_draw
         h, w = cfg.view_res
         # Colour-map lookup (XLA side; the rest of the render colour model
-        # runs inside the pack kernel).
-        mapped = sample.sample_uv(sim.color_map, colormap_uv.T) \
-            * params["colorMapAlpha"]
+        # runs inside the pack kernel). A 1x1 map in resident mode skips
+        # the per-particle lookup entirely — the splat kernel gets the four
+        # scalars and computes colours in-kernel (one fewer sort operand).
+        resident = resident and want_aux
+        scalar_map = resident and cfg.color_map_res == (1, 1)
+        mapped = None
+        mapped_scalar = None
+        if scalar_map:
+            mapped_scalar = sim.color_map[:, 0, 0] * params["colorMapAlpha"]
+        else:
+            mapped = sample.sample_uv(sim.color_map, colormap_uv.T) \
+                * params["colorMapAlpha"]
         p0 = coords.clip_to_pixel(p_clip0, (w, h))
         p1 = coords.clip_to_pixel(p_clip1, (w, h))
 
@@ -425,6 +434,7 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
             idx=idx_arg, ride=ride,
             derive_p0=resident, view_size=(view_size if resident
                                            else None),
+            mapped_scalar=mapped_scalar,
             psum=(None if axis_name is None
                   else functools.partial(jax.lax.psum,
                                          axis_name=axis_name)))

@@ -111,7 +111,7 @@ def _win_split(seg):
 
 
 def _kernel(scal_ref, keym_ref, *rest, tiles_x, pscale, samples, h, w,
-            derive_p0=False):
+            derive_p0=False, scalar_color=False):
     """Segment-direct fused splat: expands each packed segment to its
     `samples` deposit points IN-KERNEL (no per-sample HBM stream at all)
     and accumulates both passes' box footprints via tile-visit matmuls.
@@ -137,14 +137,13 @@ def _kernel(scal_ref, keym_ref, *rest, tiles_x, pscale, samples, h, w,
     ≤ ~1e-3 px; a segment whose re-derived key tile differs from the pack's
     sort key just becomes a rare stray (correctness is key-self-consistent
     — deposits follow the kernel's own keys)."""
-    if derive_p0:
-        (p1_ref, vl_ref, rgba_ref, accum_ref, out_ref, regions, sem_in,
-         sem_out) = rest
-        p0_ref = None
-    else:
-        (p0_ref, p1_ref, vl_ref, rgba_ref, accum_ref, out_ref, regions,
-         sem_in, sem_out) = rest
-    del accum_ref
+    rest = list(rest)
+    p0_ref = None if derive_p0 else rest.pop(0)
+    p1_ref = rest.pop(0)
+    vl_ref = rest.pop(0)
+    rgba_ref = None if scalar_color else rest.pop(0)
+    _accum, out_ref, regions, sem_in, sem_out = rest
+    del _accum
     speed_limit = scal_ref[0, 0]
     width_f = jnp.clip(scal_ref[0, 2], 1.0, KMAX_WIDTH)
     width_v = jnp.clip(scal_ref[0, 3], 1.0, KMAX_WIDTH)
@@ -193,12 +192,66 @@ def _kernel(scal_ref, keym_ref, *rest, tiles_x, pscale, samples, h, w,
     reg_x_hi = (seg_col * TILE_W).astype(jnp.float32) + REGION_W
 
     ascale_seg = live * jnp.maximum(length, 1.0) / samples
-    rgba = rgba_ref[:]
-    c8 = COLOR_MAX / 255.0
-    cr = (rgba & 255).astype(jnp.float32) * c8
-    cg = ((rgba >> 8) & 255).astype(jnp.float32) * c8
-    cb = ((rgba >> 16) & 255).astype(jnp.float32) * c8
-    ca = ((rgba >> 24) & 127).astype(jnp.float32) * (COLOR_MAX / 127.0)
+    if scalar_color:
+        # 1x1 colour map: the whole render colour model
+        # (`src/render/index.vert:57-94`) runs HERE at f32 (no rgba8
+        # quantisation, no rgba sort operand) — the map contributes four
+        # scalars (scal slots 16-19, pre-scaled by colorMapAlpha) and the
+        # vignette position derives from p1.
+        inv_sl = 1.0 / jnp.maximum(speed_limit, 1e-12)
+        vnx = vx * inv_sl
+        vny = vy * inv_sl
+        mr, mg, mb, ma = (scal_ref[0, 16 + i] for i in range(4))
+        speed_alpha = scal_ref[0, 4]
+        sin_decay = scal_ref[0, 5]
+        flow_decay = scal_ref[0, 6]
+        base = [scal_ref[0, 7 + i] for i in range(4)]
+        flow_c = [scal_ref[0, 11 + i] for i in range(4)]
+        speed_rate = jnp.minimum(
+            (vnx * vnx + vny * vny) / jnp.maximum(speed_alpha, 1e-12), 1.0)
+        al0 = vnx
+        al1 = vnx * -0.5 + vny * -0.8660254037844385
+        al2 = vnx * -0.5 + vny * 0.8660254037844387
+        k1 = 1.0 - flow_decay
+
+        def falign(a_, a_gbr):
+            return (a_ + (a_gbr * k1 - a_) * sin_decay) * 0.5 + 0.5
+
+        fa = (falign(al0, al1), falign(al1, al2), falign(al2, al0))
+
+        def clip01(v):
+            return jnp.clip(v, 0.0, 1.0)
+
+        ones = jnp.ones_like(vnx)
+        cr = (clip01(base[0] * base[3] * ones) + clip01(mr * ma * ones)
+              + clip01(flow_c[0] * fa[0] * flow_c[3]))
+        cg = (clip01(base[1] * base[3] * ones) + clip01(mg * ma * ones)
+              + clip01(flow_c[1] * fa[1] * flow_c[3]))
+        cb = (clip01(base[2] * base[3] * ones) + clip01(mb * ma * ones)
+              + clip01(flow_c[2] * fa[2] * flow_c[3]))
+        ca = (clip01(base[3] * ones) + clip01(ma * ones)
+              + clip01(flow_c[3] * ones))
+        posx = ((p1x - PAD_LO_W) * (2.0 / w) - 1.0) \
+            / jnp.maximum(scal_ref[0, 30], 1e-12)
+        posy = ((p1y - PAD_LO_H) * (2.0 / h) - 1.0) \
+            / jnp.maximum(scal_ref[0, 31], 1e-12)
+        d2 = jnp.sqrt(posx * posx + posy * posy)
+        amt = jnp.minimum(1.0 - d2, 1.0)
+        ut = 1.0 - amt
+        bz = (0.2 * ut + amt) * ut + amt
+        vig = jnp.clip(jnp.maximum(bz, 0.0), 0.2, 1.0)
+        ca = ca * speed_rate * vig
+        cr = jnp.clip(cr, 0.0, COLOR_MAX)
+        cg = jnp.clip(cg, 0.0, COLOR_MAX)
+        cb = jnp.clip(cb, 0.0, COLOR_MAX)
+        ca = jnp.clip(ca, 0.0, COLOR_MAX)
+    else:
+        rgba = rgba_ref[:]
+        c8 = COLOR_MAX / 255.0
+        cr = (rgba & 255).astype(jnp.float32) * c8
+        cg = ((rgba >> 8) & 255).astype(jnp.float32) * c8
+        cb = ((rgba >> 16) & 255).astype(jnp.float32) * c8
+        ca = ((rgba >> 24) & 127).astype(jnp.float32) * (COLOR_MAX / 127.0)
     wf = jnp.minimum(jnp.sqrt(vx * vx + vy * vy) / speed_limit, 1.0)
 
     keys = []    # per-sample tile keys, [samples][SEG]
@@ -396,37 +449,11 @@ def _box_blur_traced(img, radius):
     return blur_axis(blur_axis(img, 1), 2)
 
 
-def _pack_core(scal_ref, p0x, p0y, p1x, p1y, vx, vy, posx, posy,
-               mr, mg, mb, ma, live_in, idx,
-               keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref, grefs, *,
-               tiles_x, pscale, h, w, gather):
-    """Shared packing math over VALUE arrays (see _pack_kernel docstring);
-    also the tail of the fused step+pack kernel."""
-    sl = jnp.maximum(scal_ref[0, 0], 1e-12)
-
-    def qpos(x, y):
-        xp = jnp.clip(x + PAD_LO_W, 1.0, PAD_LO_W + w + 1.0)
-        yp = jnp.clip(y + PAD_LO_H, 1.0, PAD_LO_H + h + 1.0)
-        return (jnp.round(xp * pscale).astype(jnp.int32),
-                jnp.round(yp * pscale).astype(jnp.int32))
-
-    x0q, y0q = qpos(p0x, p0y)
-    x1q, y1q = qpos(p1x, p1y)
-    if p0_ref is not None:
-        p0_ref[:] = y0q * (HALF + 1) + x0q
-    p1_ref[:] = y1q * (HALF + 1) + x1q
-
-    def q15(v, lo, hi):
-        t = jnp.clip((v - lo) / (hi - lo), 0.0, 1.0)
-        return jnp.round(t * HALF).astype(jnp.int32)
-
-    vnx = vx / sl
-    vny = vy / sl
-    live_bit = (live_in > 0.5).astype(jnp.int32) * (2 ** 30)
-    vl_ref[:] = (live_bit + q15(vny, -1.0, 1.0) * (HALF + 1)
-                 + q15(vnx, -1.0, 1.0))
-
-    # --- render colour model (ref src/render/index.vert:57-94) ---
+def _emit_render_rgba(scal_ref, vnx, vny, posx, posy, mr, mg, mb, ma,
+                      rgba_ref):
+    """Render colour model (ref src/render/index.vert:57-94), packed to
+    rgba8 for the sort stream. scalar_color splat kernels compute the same
+    model in-kernel instead (no quantisation, no operand)."""
     speed_alpha = scal_ref[0, 4]
     sin_decay = scal_ref[0, 5]  # sin(time * flowDecay), precomputed scalar
     flow_decay = scal_ref[0, 6]
@@ -476,6 +503,43 @@ def _pack_core(scal_ref, p0x, p0y, p1x, p1y, vx, vy, posx, posy,
 
     rgba_ref[:] = (q8(cr) + q8(cg) * 256 + q8(cb) * 65536
                    + q8(ca, 127) * 16777216)
+
+
+def _pack_core(scal_ref, p0x, p0y, p1x, p1y, vx, vy, posx, posy,
+               mr, mg, mb, ma, live_in, idx,
+               keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref, grefs, *,
+               tiles_x, pscale, h, w, gather, emit_rgba=True):
+    """Shared packing math over VALUE arrays (see _pack_kernel docstring);
+    also the tail of the fused step+pack kernel."""
+    sl = jnp.maximum(scal_ref[0, 0], 1e-12)
+
+    def qpos(x, y):
+        xp = jnp.clip(x + PAD_LO_W, 1.0, PAD_LO_W + w + 1.0)
+        yp = jnp.clip(y + PAD_LO_H, 1.0, PAD_LO_H + h + 1.0)
+        return (jnp.round(xp * pscale).astype(jnp.int32),
+                jnp.round(yp * pscale).astype(jnp.int32))
+
+    x0q, y0q = qpos(p0x, p0y)
+    x1q, y1q = qpos(p1x, p1y)
+    if p0_ref is not None:
+        p0_ref[:] = y0q * (HALF + 1) + x0q
+    p1_ref[:] = y1q * (HALF + 1) + x1q
+
+    def q15(v, lo, hi):
+        t = jnp.clip((v - lo) / (hi - lo), 0.0, 1.0)
+        return jnp.round(t * HALF).astype(jnp.int32)
+
+    vnx = vx / sl
+    vny = vy / sl
+    live_bit = (live_in > 0.5).astype(jnp.int32) * (2 ** 30)
+    vl_ref[:] = (live_bit + q15(vny, -1.0, 1.0) * (HALF + 1)
+                 + q15(vnx, -1.0, 1.0))
+
+    # --- render colour model: packed rgba8 operand (skipped when the
+    # splat kernel computes colours in-kernel, see `_kernel` scalar_color).
+    if emit_rgba:
+        _emit_render_rgba(scal_ref, vnx, vny, posx, posy, mr, mg, mb, ma,
+                          rgba_ref)
 
     # Segment key: footprint top-left tile of the segment's BOUNDING BOX
     # (min endpoint − half-width). The expand pass keys every sample of a
@@ -527,7 +591,8 @@ def _pack_core(scal_ref, p0x, p0y, p1x, p1y, vx, vy, posx, posy,
 def _pack_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
                  vy_ref, posx_ref, posy_ref, mr_ref, mg_ref, mb_ref,
                  ma_ref, live_ref, *refs,
-                 tiles_x, pscale, h, w, gather=0, emit_p0=True):
+                 tiles_x, pscale, h, w, gather=0, emit_p0=True,
+                 emit_rgba=True):
     """Pack per-segment attributes into 15-bit pairs + the segment's
     footprint-top midpoint tile key (the sort then moves 5 int32 streams of
     SEGMENTS — half the rows of a sample-level sort — and the expand pass
@@ -549,27 +614,27 @@ def _pack_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
     The gather key is the segment key whenever p1's bilinear corners
     (clamped to the content edge, GL CLAMP_TO_EDGE) lie inside the key
     tile's region, else p1's own tile."""
+    refs = list(refs)
     if gather:
-        idx_ref = refs[0]
-        refs = refs[1:]
-    if emit_p0:
-        keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref = refs[:5]
-        grefs = refs[5:]
-    else:
-        keym_ref, p1_ref, vl_ref, rgba_ref = refs[:4]
-        p0_ref = None
-        grefs = refs[4:]
+        idx_ref = refs.pop(0)
+    keym_ref = refs.pop(0)
+    p0_ref = refs.pop(0) if emit_p0 else None
+    p1_ref = refs.pop(0)
+    vl_ref = refs.pop(0)
+    rgba_ref = refs.pop(0) if emit_rgba else None
+    grefs = refs
     _pack_core(scal_ref, p0x_ref[:], p0y_ref[:], p1x_ref[:], p1y_ref[:],
                vx_ref[:], vy_ref[:], posx_ref[:], posy_ref[:],
                mr_ref[:], mg_ref[:], mb_ref[:], ma_ref[:], live_ref[:],
                (idx_ref[:] if gather else None),
                keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref, grefs,
-               tiles_x=tiles_x, pscale=pscale, h=h, w=w, gather=gather)
+               tiles_x=tiles_x, pscale=pscale, h=h, w=w, gather=gather,
+               emit_rgba=emit_rgba)
 
 
 def _bin_and_splat(scal, outs, gather, time, *, presort, tiles_x, pscale,
                    samples, h, w, hp, wp, n_pad, interpret, ride=None,
-                   derive_p0=False):
+                   derive_p0=False, scalar_color=False):
     """Shared pipeline tail: segment sort (with the optional gather
     stream), segment-direct splat kernel, payload reassembly. Returns
     (flow_parts, view_parts, aux, ride_sorted).
@@ -581,12 +646,13 @@ def _bin_and_splat(scal, outs, gather, time, *, presort, tiles_x, pscale,
     disappears entirely (see `engine.draw_sim`)."""
     smem_scal = pl.BlockSpec((1, 32), lambda b: (0, 0),
                              memory_space=pltpu.SMEM)
-    n_seg_ops = 4 if derive_p0 else 5
-    if derive_p0:
-        keym, p1u, vlu, rgbau = outs[:4]
-        p0u = None
-    else:
-        keym, p0u, p1u, vlu, rgbau = outs[:5]
+    n_seg_ops = (4 if derive_p0 else 5) - (1 if scalar_color else 0)
+    rem = list(outs[:n_seg_ops])
+    keym = rem.pop(0)
+    p0u = None if derive_p0 else rem.pop(0)
+    p1u = rem.pop(0)
+    vlu = rem.pop(0)
+    rgbau = None if scalar_color else rem.pop(0)
     gouts = list(outs[n_seg_ops:])
     ride = list(ride) if ride is not None else []
 
@@ -596,13 +662,17 @@ def _bin_and_splat(scal, outs, gather, time, *, presort, tiles_x, pscale,
     # inherit their segment's key). Resident-sorted particles
     # (presort=False) skip even this.
     if presort:
-        seg_ops = [keym, p1u, vlu, rgbau] if derive_p0 \
-            else [keym, p0u, p1u, vlu, rgbau]
+        seg_ops = [x for x in (keym, p0u, p1u, vlu, rgbau)
+                   if x is not None]
         sorted_ops = jax.lax.sort(seg_ops + gouts + ride, num_keys=1)
-        if derive_p0:
-            keym, p1u, vlu, rgbau = sorted_ops[:4]
-        else:
-            keym, p0u, p1u, vlu, rgbau = sorted_ops[:5]
+        rem = list(sorted_ops[:n_seg_ops])
+        keym = rem.pop(0)
+        if p0u is not None:
+            p0u = rem.pop(0)
+        p1u = rem.pop(0)
+        vlu = rem.pop(0)
+        if rgbau is not None:
+            rgbau = rem.pop(0)
         gouts = list(sorted_ops[n_seg_ops:n_seg_ops + len(gouts)])
         ride = list(sorted_ops[n_seg_ops + len(gouts):])
 
@@ -640,10 +710,11 @@ def _bin_and_splat(scal, outs, gather, time, *, presort, tiles_x, pscale,
     splat_spec = pl.BlockSpec((splat_seg,), lambda b: (b,),
                               memory_space=pltpu.VMEM)
     splat_in = [scal, keym] + ([] if derive_p0 else [p0u]) \
-        + [p1u, vlu, rgbau, accum0]
+        + [p1u, vlu] + ([] if scalar_color else [rgbau]) + [accum0]
     out = pl.pallas_call(
         functools.partial(_kernel, tiles_x=tiles_x, pscale=pscale,
-                          samples=samples, h=h, w=w, derive_p0=derive_p0),
+                          samples=samples, h=h, w=w, derive_p0=derive_p0,
+                          scalar_color=scalar_color),
         grid=(n_pad // splat_seg,),
         in_specs=([smem_scal]
                   + [splat_spec] * n_seg_ops
@@ -685,7 +756,8 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
                           interpret=None, presort=True, flow_width=1.0,
                           line_width=1.0, speed_alpha=1.0, sin_decay=0.0,
                           flow_decay=0.0, base_color=None, flow_color=None,
-                          derive_p0=False, view_size=None):
+                          derive_p0=False, view_size=None,
+                          mapped_scalar=None):
     """Accumulate both passes' splats.
 
     `p0_pix`/`p1_pix`: `f32[N, 2]` segment endpoints (window px of the shared
@@ -719,6 +791,11 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
     guarantees `p1 = p0 + vel·viewScale` in pixels (a logic step
     immediately preceded this draw) — the p0 stream is dropped from the
     sort and reconstructed in the splat kernel, saving an operand.
+
+    `mapped_scalar` (`f32[4]`, requires derive_p0): the colour map is a
+    single texel — the whole render colour model runs in the SPLAT kernel
+    (scalar map + scal params), dropping the rgba operand from the sort
+    too; `mapped`/`pos_ndc` are ignored.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -747,8 +824,10 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
         p1_pix = jnp.pad(p1_pix, ((0, pad), (0, 0)),
                          constant_values=w + 64.0)
         vel = jnp.pad(vel, ((0, 0), (0, pad)))
-        pos_ndc = jnp.pad(pos_ndc, ((0, 0), (0, pad)))
-        mapped = jnp.pad(mapped, ((0, 0), (0, pad)))
+        if pos_ndc is not None:
+            pos_ndc = jnp.pad(pos_ndc, ((0, 0), (0, pad)))
+        if mapped is not None:
+            mapped = jnp.pad(mapped, ((0, 0), (0, pad)))
         live = jnp.pad(live, (0, pad))
         if idx is not None:
             # Distinct tail ids so pad rows un-sort to the end and slice off.
@@ -766,9 +845,15 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
     else:
         gather = 2
 
+    scalar_color = mapped_scalar is not None
+    if scalar_color:
+        assert derive_p0, "scalar_color requires the resident frame path"
     tail = jnp.zeros(17, jnp.float32)
     if derive_p0:
-        tail = jnp.concatenate([jnp.zeros(15, jnp.float32),
+        mid = (jnp.asarray(mapped_scalar, jnp.float32) if scalar_color
+               else jnp.zeros(4, jnp.float32))
+        tail = jnp.concatenate([jnp.zeros(1, jnp.float32), mid,
+                                jnp.zeros(10, jnp.float32),
                                 jnp.asarray(view_size, jnp.float32)])
     scal = jnp.concatenate([
         jnp.stack([jnp.float32(speed_limit), jnp.float32(time),
@@ -786,16 +871,25 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
                            memory_space=pltpu.VMEM)
     smem_scal = pl.BlockSpec((1, 32), lambda b: (0, 0),
                              memory_space=pltpu.SMEM)
-    n_out = (4 if derive_p0 else 5) + (2 if gather == 2 else 0)
-    pack_in = [scal, p0_pix[:, 0], p0_pix[:, 1], p1_pix[:, 0], p1_pix[:, 1],
-               vel[0], vel[1], pos_ndc[0], pos_ndc[1],
-               mapped[0], mapped[1], mapped[2], mapped[3], live]
+    n_out = (4 if derive_p0 else 5) - (1 if scalar_color else 0) \
+        + (2 if gather == 2 else 0)
+    if scalar_color:
+        # The pack kernel never reads the map values or the vignette pos
+        # (colours run in the splat kernel) — feed placeholders.
+        pack_in = [scal, p0_pix[:, 0], p0_pix[:, 1], p1_pix[:, 0],
+                   p1_pix[:, 1], vel[0], vel[1], live, live,
+                   live, live, live, live, live]
+    else:
+        pack_in = [scal, p0_pix[:, 0], p0_pix[:, 1], p1_pix[:, 0],
+                   p1_pix[:, 1], vel[0], vel[1], pos_ndc[0], pos_ndc[1],
+                   mapped[0], mapped[1], mapped[2], mapped[3], live]
     if gather:
         pack_in.append(idx)
     outs = pl.pallas_call(
         functools.partial(_pack_kernel, tiles_x=tiles_x, pscale=pscale,
                           h=h, w=w, gather=gather,
-                          emit_p0=not derive_p0),
+                          emit_p0=not derive_p0,
+                          emit_rgba=not scalar_color),
         grid=(n_pad // seg_block,),
         in_specs=([smem_scal] + [segspec] * (13 + (1 if gather else 0))),
         out_specs=[segspec] * n_out,
@@ -805,7 +899,8 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
     flow_parts, view_parts, aux, ride_s = _bin_and_splat(
         scal, outs, gather, time, presort=presort, tiles_x=tiles_x,
         pscale=pscale, samples=samples, h=h, w=w, hp=hp, wp=wp,
-        n_pad=n_pad, interpret=interpret, ride=ride, derive_p0=derive_p0)
+        n_pad=n_pad, interpret=interpret, ride=ride, derive_p0=derive_p0,
+        scalar_color=scalar_color)
     if ride is not None:
         return flow_parts, view_parts, aux, ride_s
     if idx is None:
@@ -1042,7 +1137,7 @@ def fused_step_draw(flow, view, particles, targets, force, idx, mapped,
 def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
                params, time, *, grid_hw, samples=2, interpret=None,
                presort=True, idx=None, ride=None, psum=None,
-               derive_p0=False, view_size=None):
+               derive_p0=False, view_size=None, mapped_scalar=None):
     """Full fused draw: accumulate with in-kernel per-pass line widths
     (`flowWidth` for the flow deposit, `lineWidth` for the view deposit —
     ref `src/index.js:302,336` set `gl.lineWidth` per pass) and the in-kernel
@@ -1059,7 +1154,7 @@ def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
         grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
         params["speedLimit"], time, idx=idx, ride=ride, samples=samples,
         interpret=interpret, presort=presort, derive_p0=derive_p0,
-        view_size=view_size,
+        view_size=view_size, mapped_scalar=mapped_scalar,
         flow_width=params["flowWidth"], line_width=params["lineWidth"],
         speed_alpha=params["speedAlpha"],
         sin_decay=jnp.sin(time * params["flowDecay"]),

@@ -105,3 +105,22 @@ def test_resident_targets_ride():
     ta = np.asarray(a.sim.targets)[:2][:, order_a]
     tb = np.asarray(b.sim.targets)[:2]
     np.testing.assert_allclose(ta, tb, atol=1e-6)
+
+
+def test_resident_with_textured_color_map():
+    """Non-1x1 colour maps keep the rgba operand riding the sort; colours
+    must match the classic path per particle identity."""
+    rng = np.random.RandomState(7)
+    cmap = np.asarray(rng.rand(4, 8, 8), np.float32)
+    a = make_engine(resident=True)
+    b = make_engine(resident=False)
+    for eng in (a, b):
+        eng.set_color_map(cmap)
+        eng.state["colorMapAlpha"] = 0.8
+    for _ in range(3):
+        a.frame()
+        b.frame()
+    np.testing.assert_allclose(by_identity(a.sim), by_identity(b.sim),
+                               atol=1e-3)
+    va, vb = np.asarray(a.sim.view), np.asarray(b.sim.view)
+    np.testing.assert_allclose(va.sum(), vb.sum(), rtol=1e-2)
