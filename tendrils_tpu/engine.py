@@ -137,7 +137,7 @@ def resident_enabled(cfg: EngineConfig) -> bool:
 
 
 def force_from_aux(flow, aux, params, read_time, cfg: EngineConfig,
-                   unsort=True):
+                   unsort=True, n=None):
     """Gather the next step's flow force from the CURRENT flow grid using
     the fused draw's segment-sorted aux stream — no sort on the way in (the
     stream is already tile-binned), one 3-operand un-sort on the way out.
@@ -149,7 +149,10 @@ def force_from_aux(flow, aux, params, read_time, cfg: EngineConfig,
 
     `read_time` is the next frame's time (fixed-step exact; wall-clock
     timers approximate decay age by one frame — the payload stamps make the
-    error `(dt_err · flowDecay · vel)`, far below force scale)."""
+    error `(dt_err · flowDecay · vel)`, far below force scale).
+
+    `n`: row count of the force to return — defaults to `cfg.n`; sharded
+    callers pass their LOCAL particle count (aux ids are local rows)."""
     from .ops.draw_pallas import HALF, pos_scale_for
     from .ops.gather_pallas import bilinear_gather_keyed
     from .ops.tile_geom import PAD_LO_H, PAD_LO_W
@@ -164,9 +167,10 @@ def force_from_aux(flow, aux, params, read_time, cfg: EngineConfig,
                   PAD_LO_H + 0.5, PAD_LO_H + h - 0.5)
     eff = flow[:2] * jnp.maximum(
         0.0, 1.0 - (read_time - flow[2]) * params["flowDecay"])[None]
+    n = cfg.n if n is None else n
     f = bilinear_gather_keyed(eff, xs, ys, gkey_s)  # [2, M] sorted order
     if not unsort:
-        return f[:, :cfg.n]
+        return f[:, :n]
     # Un-sort with ONE value operand: the two force components ride a
     # 15+15-bit fixed-point word over ±speedLimit (|flow payload| <=
     # speedLimit by construction; quantisation ~3e-5 of the force scale).
@@ -178,7 +182,6 @@ def force_from_aux(flow, aux, params, read_time, cfg: EngineConfig,
 
     packed = q15(f[1]) * (HALF + 1) + q15(f[0])
     _, pk = jax.lax.sort([gidx_s, packed], num_keys=1)
-    n = cfg.n
 
     def unq(q):
         return (q.astype(jnp.float32) * (2.0 / HALF) - 1.0) * sl

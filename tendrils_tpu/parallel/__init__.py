@@ -16,21 +16,24 @@ is particle count × grid resolution:
     all-gathers just the 2 pre-decayed force channels — ~0.58x the ICI
     bytes and 1/D the grid memory of replicate+psum.
 
-Multi-host mapping (design note; this machine exposes one host): the mesh
-extends to `(hosts, chips)` via `jax.distributed.initialize` +
-`jax.make_mesh`. Particles shard over the flattened axis (collective-free
-map phase, so DP crosses DCN harmlessly); the grid reduction should keep
-its heavy traffic on ICI by reducing per-host first — `psum` over the
-chip axis, then the (much smaller, already-reduced) partials over the host
-axis — which XLA does automatically for a `psum` over both axes of a
-`(hosts, chips)` mesh since the ICI axis is innermost. The slab layout
-additionally wants slabs assigned host-contiguously so the step's
-all-gather of the force channels rides ICI within a host before one
-DCN hop.
+Multi-host mapping (implemented, dryrun-validated; this machine exposes
+one host so true multi-process transport can't run here): the mesh
+extends to `(hosts, chips)` via `make_multihost_mesh` (+
+`initialize_distributed`, a guarded `jax.distributed.initialize`).
+Particles shard over the flattened `("host", "dp")` axes (collective-free
+map phase, so DP crosses DCN harmlessly); the splat `psum` runs over both
+axes, which XLA stages as ICI-reduce within each host first, then the
+already-reduced partials over DCN — the chips axis is innermost and the
+host-major device order keeps each host's chips mesh-contiguous. The
+composition (specs + collectives) is exactly what a single-axis mesh
+runs, validated on local devices reshaped `(2, 4)` in
+`tests/test_parallel.py` and the driver dryrun.
 """
 
-from .sharding import make_mesh, parallel_frame, shard_sim
+from .sharding import (initialize_distributed, make_mesh,
+                       make_multihost_mesh, parallel_frame, shard_sim)
 from .spatial import shard_sim_spatial, spatial_frame
 
-__all__ = ["make_mesh", "parallel_frame", "shard_sim",
-           "shard_sim_spatial", "spatial_frame"]
+__all__ = ["initialize_distributed", "make_mesh", "make_multihost_mesh",
+           "parallel_frame", "shard_sim", "shard_sim_spatial",
+           "spatial_frame"]

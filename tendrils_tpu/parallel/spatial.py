@@ -130,8 +130,40 @@ def spatial_frame(sim, params, time, dt, cfg: EngineConfig, view_size,
                     jax.lax.psum_scatter(logt, AXIS, scatter_dimension=0,
                                          tiled=True))
 
-        # Flow pass: full-grid partials per shard, reduced to this shard's
-        # slab rows.
+        view0 = sim.view[0]
+        view0 = view0 * (1.0 - params["autoClearView"])
+        view0 = render.fade_fill(view0,
+                                 params["fadeColor"] * params["autoFade"])
+
+        if cfg.splat_backend == "pallas" and cfg.fused_draw:
+            # Fused Pallas accumulate (one sort + one splat kernel for both
+            # passes, the single-chip fast path) — full-grid partials per
+            # shard, reduce-scattered to this shard's slab (VERDICT r2
+            # item 6).
+            from ..ops.draw_pallas import (_widen_excess,
+                                           fused_draw_accumulate)
+            mapped = sample.sample_uv(sim.color_map, colormap_uv.T) \
+                * params["colorMapAlpha"]
+            fp, vp = fused_draw_accumulate(
+                (h, w), p0, p1, vel, pos, mapped, live,
+                params["speedLimit"], time, samples=cfg.view_samples,
+                flow_width=params["flowWidth"],
+                line_width=params["lineWidth"],
+                speed_alpha=params["speedAlpha"],
+                sin_decay=jnp.sin(time * params["flowDecay"]),
+                flow_decay=params["flowDecay"],
+                base_color=params["baseColor"],
+                flow_color=params["flowColor"])
+            # Width excess blurs cross slab rows — apply on the full
+            # partials (linear, commutes with the psum) before scattering.
+            flow_parts = scatter_rows(_widen_excess(fp, params["flowWidth"]))
+            view_parts = scatter_rows(_widen_excess(vp, params["lineWidth"]))
+            new_flow = splat_ops.composite_over(sim.flow, *flow_parts)
+            view0 = splat_ops.composite_over(view0, *view_parts)
+            return dataclasses.replace(sim, flow=new_flow,
+                                       view=sim.view.at[0].set(view0))
+
+        # Generic XLA backend: two separate passes.
         payload = flow_ops.flow_payload(vel, time, params["speedLimit"])
         flow_parts = scatter_rows(splat_ops.splat_segments_accumulate(
             p0, p1, payload, payload[3] * live, grid_hw=(h, w),
@@ -139,11 +171,6 @@ def spatial_frame(sim, params, time, dt, cfg: EngineConfig, view_size,
             rows=cfg.flow_rows, backend="xla"))
         new_flow = splat_ops.composite_over(sim.flow, *flow_parts)
 
-        # View pass.
-        view0 = sim.view[0]
-        view0 = view0 * (1.0 - params["autoClearView"])
-        view0 = render.fade_fill(view0,
-                                 params["fadeColor"] * params["autoFade"])
         colors = render.particle_colors(pos, vel, colormap_uv,
                                         sim.color_map, params, time)
         view_parts = scatter_rows(splat_ops.splat_segments_accumulate(

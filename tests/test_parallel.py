@@ -129,3 +129,99 @@ def test_spatial_multi_step_stable(engine):
     # The view grid really is sharded by rows across the mesh.
     shardings = engine.sim.flow.sharding
     assert shardings.num_devices == 8
+
+
+def test_parallel_carry_force(engine):
+    """The DP sharded frame carries each shard's flow force (VERDICT r2
+    item 5): second frame runs with force present, and the carried
+    trajectory matches the no-carry sharded trajectory to q15 tolerance."""
+    eng = engine
+    mesh = make_mesh()
+    params = eng.params()
+    dt = jnp.float32(16.0)
+
+    cfg_c = dataclasses.replace(eng.config, splat_backend="pallas",
+                                gather_backend="pallas", carry_force=True)
+    cfg_n = dataclasses.replace(cfg_c, carry_force=False)
+
+    def clone(s):
+        # parallel_frame donates its input; shard_sim may alias the source
+        # buffers, so each run gets a deep copy.
+        return jax.tree_util.tree_map(jnp.array, s)
+
+    sims = {}
+    for name, cfg in (("carry", cfg_c), ("nocarry", cfg_n)):
+        sim = shard_sim(clone(eng.sim), mesh)
+        for i in range(3):
+            sim = parallel_frame(sim, params, jnp.float32(16.0 * (i + 1)),
+                                 dt, cfg, eng._view_size, mesh)
+        sims[name] = sim
+    assert sims["carry"].force is not None
+    assert sims["carry"].force.shape == (2, eng.config.n)
+    assert sims["nocarry"].force is None
+    np.testing.assert_allclose(np.asarray(sims["carry"].particles),
+                               np.asarray(sims["nocarry"].particles),
+                               atol=5e-4)
+    # Bulk agreement (q15 force quantisation only).
+    d = np.abs(np.asarray(sims["carry"].particles)
+               - np.asarray(sims["nocarry"].particles))
+    assert (d > 5e-5).mean() < 0.02
+
+
+def test_multihost_mesh_matches_single_axis(engine):
+    """(hosts, chips) mesh: same specs/collectives as the flat mesh, psum
+    staged chips-then-hosts (VERDICT r2 item 7). Validated by reshaping the
+    8 CPU devices to (2, 4) and comparing against the flat-mesh frame."""
+    from tendrils_tpu.parallel import make_multihost_mesh
+
+    eng = engine
+    params = eng.params()
+    t, dt = jnp.float32(16.0), jnp.float32(16.0)
+
+    mesh_flat = make_mesh()
+    mesh_mh = make_multihost_mesh(hosts=2)
+    assert mesh_mh.devices.shape == (2, 4)
+    assert mesh_mh.axis_names == ("host", "dp")
+
+    def clone(s):
+        return jax.tree_util.tree_map(jnp.array, s)
+
+    out_flat = parallel_frame(shard_sim(clone(eng.sim), mesh_flat), params,
+                              t, dt, eng.config, eng._view_size, mesh_flat)
+    out_mh = parallel_frame(shard_sim(clone(eng.sim), mesh_mh), params, t,
+                            dt, eng.config, eng._view_size, mesh_mh)
+    np.testing.assert_allclose(np.asarray(out_mh.particles),
+                               np.asarray(out_flat.particles), rtol=1e-5,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out_mh.flow),
+                               np.asarray(out_flat.flow), rtol=1e-4,
+                               atol=1e-6)
+
+
+def test_spatial_slab_pallas_backend(engine):
+    """Slab mode on the fused Pallas splat (VERDICT r2 item 6): matches
+    the single-device FUSED draw (same kernel, slab-scattered resolve)."""
+    from tendrils_tpu.parallel import shard_sim_spatial, spatial_frame
+
+    eng = engine
+    cfg = dataclasses.replace(eng.config, splat_backend="pallas",
+                              gather_backend="pallas", fused_draw=True,
+                              carry_force=False)
+    params = eng.params()
+    t, dt = jnp.float32(16.0), jnp.float32(16.0)
+
+    ref = step_sim(eng.sim, params, t, dt, cfg, eng._view_size)
+    ref = draw_sim(ref, params, t, cfg, eng._view_size)
+
+    mesh = make_mesh()
+    sim_sharded = shard_sim_spatial(eng.sim, mesh)
+    out = spatial_frame(sim_sharded, params, t, dt, cfg,
+                        eng._view_size, mesh)
+
+    np.testing.assert_allclose(np.asarray(out.particles),
+                               np.asarray(ref.particles), rtol=1e-4,
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(out.flow), np.asarray(ref.flow),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.view), np.asarray(ref.view),
+                               rtol=1e-4, atol=1e-5)

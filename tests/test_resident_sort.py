@@ -9,10 +9,13 @@ from tendrils_tpu.ops import spawn
 
 
 def run(resident, frames=6, backend="pallas"):
+    # resident_stream off for BOTH runs: this test isolates the amortised
+    # resident_sort permutation (the stream mode has its own test file and
+    # slightly different deposit placement via derive_p0).
     eng = Tendrils(EngineConfig(
         root_num=32, view_res=(32, 128), flow_samples=2, flow_rows=1,
         view_samples=2, splat_backend=backend, gather_backend=backend,
-        resident_sort=resident))
+        resident_sort=resident, resident_stream=False))
     eng.setup()
     eng.spawn_shader(lambda p, e: spawn.ball(p, e._frag_xy, 0.6, 0.01))
     for _ in range(frames):
