@@ -156,8 +156,10 @@ def bench_all(on_tpu):
     frames = 20 if on_tpu else 2
 
     def of_frame(i):
-        img = np.zeros((480, 640, 3), np.float32)
-        img[:, (i * 8) % 600:(i * 8) % 600 + 40] = 1.0
+        # u8 camera frames: the upload is 0.9 MB instead of 4.9 MB f32 —
+        # the realistic feed format AND the transfer fix (VERDICT r2 #4).
+        img = np.zeros((480, 640, 3), np.uint8)
+        img[:, (i * 8) % 600:(i * 8) % 600 + 40] = 255
         of.set_pixels(img)
         eng.timer.tick()
         eng.step_draw_io(of_frames=of.device_buffers(),

@@ -791,8 +791,10 @@ class Tendrils:
         if of_frames is not None:
             u = dict({"offset": 1.0, "lambda": 0.001, "speed": 1.0},
                      **(of_uniforms or {}))
-            of = (jnp.asarray(of_frames[0], jnp.float32),
-                  jnp.asarray(of_frames[1], jnp.float32),
+            # Frames keep their dtype across the upload (uint8 camera
+            # frames are 4x cheaper through the host→device pipe); the
+            # optical-flow op normalises on device.
+            of = (jnp.asarray(of_frames[0]), jnp.asarray(of_frames[1]),
                   jnp.float32(u["offset"]), jnp.float32(u["lambda"]),
                   jnp.float32(u["speed"]))
 

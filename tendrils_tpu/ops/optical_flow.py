@@ -58,7 +58,15 @@ def optical_flow(view, last, time, offset=0.1, lambda_=0.001, speed=1.0,
     `offset`: central-difference half-step in UV units (traced) — ref demo
     default 0.1 (`demo.main.js:527-530`); `lambda_` regularises the gradient
     magnitude. Returns `f32[4, H, W]` in the standard flow-payload format.
+
+    uint8 frames are accepted and normalised to [0, 1] ON DEVICE — the
+    feed then uploads a quarter of the f32 bytes (the hot transfer of the
+    camera path, ref `demo.main.js:1131-1160`).
     """
+    if view.dtype == jnp.uint8:
+        view = view.astype(jnp.float32) * (1.0 / 255.0)
+    if last.dtype == jnp.uint8:
+        last = last.astype(jnp.float32) * (1.0 / 255.0)
     _, h, w = view.shape
     gv = gray_scale(view)
     gl = gray_scale(last)

@@ -204,3 +204,33 @@ class TestMediaConversions:
         img = rng.uniform(0, 1, (8, 6, 4)).astype(np.float32)
         back = grid_to_image(image_to_grid(img))
         np.testing.assert_allclose(back, img, atol=1e-6)
+
+
+def test_u8_feed_matches_f32():
+    """uint8 camera frames ride the upload as u8 (4x fewer bytes) and are
+    normalised on device — the resulting flow payload must equal the f32
+    feed exactly (u8/255 is exact in f32)."""
+    import numpy as np
+    from tendrils_tpu.media import OpticalFlow
+    from tendrils_tpu.ops.optical_flow import optical_flow
+
+    rng = np.random.RandomState(11)
+    img_u8 = (rng.rand(24, 32, 3) * 255).astype(np.uint8)
+    img2_u8 = np.roll(img_u8, 3, axis=1)
+
+    of8 = OpticalFlow({"offset": 0.05, "speed": 0.1})
+    of8.set_pixels(img_u8)
+    of8.step()
+    of8.set_pixels(img2_u8)
+    cur8, last8 = of8.device_buffers()
+    assert cur8.dtype == jnp.uint8 and last8.dtype == jnp.uint8
+
+    off = OpticalFlow({"offset": 0.05, "speed": 0.1})
+    off.set_pixels(img_u8.astype(np.float32) / 255.0)
+    off.step()
+    off.set_pixels(img2_u8.astype(np.float32) / 255.0)
+    curf, lastf = off.device_buffers()
+
+    p8 = optical_flow(cur8, last8, jnp.float32(8.0))
+    pf = optical_flow(curf, lastf, jnp.float32(8.0))
+    np.testing.assert_allclose(np.asarray(p8), np.asarray(pf), atol=1e-6)
