@@ -90,8 +90,9 @@ class TendrilsDemo:
 
         eng_cfg = dict(view_res=view_res)
         eng_cfg.update(engine_kw)
+        seed = eng_cfg.pop("seed", 0)
         self.tendrils = Tendrils(EngineConfig(**eng_cfg),
-                                 timer=self.timer["app"])
+                                 timer=self.timer["app"], seed=seed)
         self.state = self.tendrils.state
         self.default_state = default_state()
 
