@@ -423,9 +423,13 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
         ride = None
         idx_arg = None
         if resident:
+            # Only the exact f32 POSITIONS ride the sort; the new velocity
+            # is reconstructed from the splat stream's q15 fields (the same
+            # quantisation the classic path's carried force crossed), and
+            # inert targets don't ride at all (the buffer passes through
+            # loop-invariant). Keeps the hot sort at 5 operands.
             idx_arg = sim.idx
-            ride = [sim.particles[0], sim.particles[1],
-                    sim.particles[2], sim.particles[3]]
+            ride = [sim.particles[0], sim.particles[1]]
             if targets_live:
                 ride += [sim.targets[0], sim.targets[1]]
         elif want_aux:
@@ -443,9 +447,22 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
                                          axis_name=axis_name)))
         new_flow, view0 = out[:2]
         if resident:
+            from .ops.draw_pallas import HALF
             aux, ride_s = out[2], out[3]
             n = n_local
-            npx, npy, nvx, nvy = (r[:n] for r in ride_s[:4])
+            npx, npy = ride_s[0][:n], ride_s[1][:n]
+            # New velocity from the sorted splat stream's q15 fields
+            # (quantisation ~3e-5 of speedLimit — the scale the classic
+            # carried force already crossed). The live bit rides bit 30.
+            vl_s = ride_s[-1][:n]
+            vel_u = vl_s & (2 ** 30 - 1)
+            sl = jnp.maximum(params["speedLimit"], 1e-12)
+
+            def unq(q):
+                return (q.astype(jnp.float32) * (2.0 / HALF) - 1.0) * sl
+
+            nvx = unq(vel_u & HALF)
+            nvy = unq(vel_u >> 15)
             alive_s = (npx != INERT) | (npy != INERT)
             particles = jnp.stack([npx, npy, nvx, nvy])
             prev = jnp.stack([jnp.where(alive_s, npx - nvx, npx),
@@ -453,9 +470,12 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
                               nvx, nvy])
             if targets_live:
                 tz = jnp.zeros_like(npx)
-                targets = jnp.stack([ride_s[4][:n], ride_s[5][:n], tz, tz])
+                targets = jnp.stack([ride_s[2][:n], ride_s[3][:n], tz, tz])
             else:
-                targets = jnp.zeros_like(sim.targets)
+                # Inert targets: pass through untouched (all-zero content
+                # is permutation-invariant, and a loop-invariant carry
+                # costs nothing under lax.scan).
+                targets = sim.targets
             new_sim = dataclasses.replace(
                 sim, particles=particles, previous=prev, targets=targets,
                 idx=aux[0][:n], flow=new_flow,
