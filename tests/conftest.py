@@ -17,3 +17,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# The suite is compile-bound (single-core box: ~18 min cold, dominated by
+# XLA CPU compiles of many engine variants). The persistent compilation
+# cache makes warm reruns skip every unchanged compile (~4x faster) —
+# exactly the "keep the suite being run" goal of CI taming.
+_cache_dir = os.environ.get("TENDRILS_TEST_CACHE",
+                            "/tmp/tendrils_xla_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
