@@ -59,15 +59,16 @@ def time_mode(resident, steps=30, reps=3):
     return best
 
 
-# Tunnel sanity check first.
-t = time.time()
-float(jnp.sum(jnp.ones((128, 128))))
-print(f"tunnel roundtrip: {(time.time() - t) * 1000:.1f} ms", flush=True)
+if __name__ == "__main__":
+    # Tunnel sanity check first.
+    t = time.time()
+    float(jnp.sum(jnp.ones((128, 128))))
+    print(f"tunnel roundtrip: {(time.time() - t) * 1000:.1f} ms", flush=True)
 
-for mode, label in ((True, "resident (pos-ride + q15 vel)"),
-                    (False, "classic carried force")):
-    sec = time_mode(mode)
-    n = 1024 * 1024
-    print(f"{label}: {sec * 1000:.2f} ms/step, "
-          f"{n / sec / 1e6:.1f}M psteps/s, vs_baseline "
-          f"{n / sec / (n * 60):.4f}", flush=True)
+    for mode, label in ((True, "resident (pos-ride + q15 vel)"),
+                        (False, "classic carried force")):
+        sec = time_mode(mode)
+        n = 1024 * 1024
+        print(f"{label}: {sec * 1000:.2f} ms/step, "
+              f"{n / sec / 1e6:.1f}M psteps/s, vs_baseline "
+              f"{n / sec / (n * 60):.4f}", flush=True)

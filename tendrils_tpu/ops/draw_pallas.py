@@ -144,6 +144,12 @@ def _kernel(scal_ref, keym_ref, *rest, tiles_x, pscale, samples, h, w,
     rgba_ref = None if scalar_color else rest.pop(0)
     _accum, out_ref, regions, sem_in, sem_out = rest
     del _accum
+    # NOTE: first-visit region-load elision (zero the scratch instead of
+    # DMA-ing the not-yet-written accumulator) was tried and is UNSOUND
+    # here: regions overlap 1.5x1.5 tiles, so a neighbouring tile's earlier
+    # store may have deposited into this region's footprint — skipping the
+    # load would zero it away. A 9-neighbourhood visited check would make
+    # it safe but only elides ~25% of loads (~0.1 ms at 1M/1080p).
     speed_limit = scal_ref[0, 0]
     width_f = jnp.clip(scal_ref[0, 2], 1.0, KMAX_WIDTH)
     width_v = jnp.clip(scal_ref[0, 3], 1.0, KMAX_WIDTH)
