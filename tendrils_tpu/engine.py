@@ -79,8 +79,11 @@ class EngineConfig:
     # The force un-sort (a whole second lax.sort crossing, ~4.7 ms at 1M)
     # and its q15 quantisation disappear — the gather's output order IS row
     # order. Row identity lives in `sim.idx` as before. Hot fused frame
-    # path only (step immediately before draw).
-    resident_stream: bool = True
+    # path only (step immediately before draw). Default OFF: measured
+    # SLOWER than the classic carried force on v5e (19.6 vs 17.7 ms/step at
+    # 1M/1080p — the state-reconstruction tail's extra launches outweigh the
+    # saved un-sort; see BENCHMARKS.md round-3 ledger).
+    resident_stream: bool = False
 
     @property
     def n(self) -> int:
