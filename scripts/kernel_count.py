@@ -37,20 +37,21 @@ def main():
                                     1000.0 / 60.0, 8)
     txt = lowered.compile().as_text()
 
-    # The scan body is the while-loop body computation; find it and count
-    # top-level ops that become launches: fusions, custom-calls, sorts,
-    # and bare array ops (copies/converts XLA didn't fuse).
-    body = None
-    for m in re.finditer(r"^%?(\S*body\S*) \([^)]*\) -> .*? \{$", txt,
-                         re.M):
-        body = m
+    # The scan body is the while-loop body computation: find the while op's
+    # body= attribute, then pull that computation's block.
+    bm = re.search(r"while\(.*?\).*?body=%?([\w.-]+)", txt)
+    if not bm:
+        print("no while op found; dumping computation names:")
+        for line in txt.splitlines():
+            if line.endswith("{") and not line.startswith(" "):
+                print("  ", line[:100])
+        return
+    body_name = bm.group(1)
     blocks = re.split(r"^(?=[%\w].*\{$)", txt, flags=re.M)
     body_blocks = [b for b in blocks
-                   if re.match(r"^%?\S*(while_body|body)\S*\s", b)]
+                   if re.match(r"^%?" + re.escape(body_name) + r"[ (]", b)]
     if not body_blocks:
-        print("could not locate scan body; dumping computation names:")
-        for b in blocks[:50]:
-            print("  ", b.splitlines()[0][:100])
+        print(f"body computation {body_name} not found")
         return
     body_txt = max(body_blocks, key=len)
     print("scan body:", body_txt.splitlines()[0][:100])
