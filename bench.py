@@ -47,13 +47,16 @@ def _engine(root, view, on_tpu, **kw):
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "steps"),
+@functools.partial(jax.jit, static_argnames=("cfg", "steps",
+                                             "fast_resolve"),
                    donate_argnums=(0,))
-def _run_scan(sim, params, cfg, view_size, t0, dt, steps):
+def _run_scan(sim, params, cfg, view_size, t0, dt, steps,
+              fast_resolve=False):
     from tendrils_tpu.engine import run_headless
     # No bench config spawns targets — skip riding the targets rows.
+    # fast_resolve is decided host-side (params are traced here).
     return run_headless(sim, params, cfg, view_size, t0, dt, steps,
-                        targets_live=False)
+                        targets_live=False, fast_resolve=fast_resolve)
 
 
 def _scan_once(eng, steps, params=None, t0=0.0):
@@ -69,8 +72,10 @@ def _scan_once(eng, steps, params=None, t0=0.0):
     # being caught). run_headless re-seeds the force internally.
     if eng.sim.force is not None:
         eng.sim = dataclasses.replace(eng.sim, force=None)
+    from tendrils_tpu.engine import fast_resolve_ok
     eng.sim = _run_scan(eng.sim, params, eng.config, eng._view_size,
-                        jnp.float32(t0), dt, steps)
+                        jnp.float32(t0), dt, steps,
+                        fast_resolve=fast_resolve_ok(eng.config, eng.state))
     float(eng.sim.particles[0, 0])  # force (block_until_ready lies on axon)
 
 

@@ -1,0 +1,41 @@
+"""One timed scan of the bench config; variant picked by env vars (read
+at import time): TT_DERIVE=1 (derive_p0+in-kernel colours on the classic
+path), TT_RESIDENT=1 (resident-stream engine), TT_FR=0/1 (fused Pallas
+resolve). Used for the round-3 regression bisect and default decisions —
+see BENCHMARKS.md."""
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax.numpy as jnp  # noqa: E402
+
+import bench  # noqa: E402
+
+
+def main():
+    fr = os.environ.get("TT_FR", "0") == "1"
+    kw = {}
+    if os.environ.get("TT_RESIDENT", "") == "1":
+        kw["resident_stream"] = True
+    eng = bench._engine(1024, (1080, 1920), True, **kw)
+    params = eng.params()
+    dt = jnp.float32(1000.0 / 60.0)
+    steps = 30
+    for i in range(3):
+        if eng.sim.force is not None:
+            eng.sim = dataclasses.replace(eng.sim, force=None)
+        t0 = time.time()
+        eng.sim = bench._run_scan(eng.sim, params, eng.config,
+                                  eng._view_size, jnp.float32(0.0), dt,
+                                  steps, fast_resolve=fr)
+        float(eng.sim.particles[0, 0])
+        sec = time.time() - t0
+        if i:  # first is warm-up/compile
+            print(f"  run {i}: {sec / steps * 1e3:.2f} ms/step", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -32,9 +32,15 @@ def main():
     if eng.sim.force is not None:
         eng.sim = dataclasses.replace(eng.sim, force=None)
 
+    import os
+
+    from tendrils_tpu.engine import fast_resolve_ok
+    fr = (os.environ.get("TT_FR", "auto") == "1"
+          or (os.environ.get("TT_FR", "auto") == "auto"
+              and fast_resolve_ok(eng.config, eng.state)))
     lowered = bench._run_scan.lower(eng.sim, params, eng.config,
                                     eng._view_size, jnp.float32(0.0),
-                                    1000.0 / 60.0, 8)
+                                    1000.0 / 60.0, 8, fast_resolve=fr)
     txt = lowered.compile().as_text()
 
     # The scan body is the while-loop body computation: find the while op's

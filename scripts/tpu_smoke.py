@@ -74,6 +74,62 @@ def main():
                                rtol=1e-2, atol=2e-3)
     print("bilinear_gather_keyed compiled: ok", flush=True)
 
+    # --- packed-p1 keyed gather variants (q15-pack and exact f32) ---
+    from tendrils_tpu.ops.draw_pallas import pos_scale_for
+    from tendrils_tpu.ops.gather_pallas import (bilinear_gather_keyed_p1,
+                                                bilinear_gather_keyed_q15)
+    from tendrils_tpu.ops.tile_geom import HALF
+    pscale = pos_scale_for((h, w))
+    p1pk = (jnp.round(ys * pscale).astype(jnp.int32) * (HALF + 1)
+            + jnp.round(xs * pscale).astype(jnp.int32))[order]
+    # Oracle at the kernel's quantised coords.
+    xq = (p1pk & HALF).astype(jnp.float32) / pscale
+    yq = (p1pk >> 15).astype(jnp.float32) / pscale
+    want_q = np.asarray(sample.bilinear_sample(
+        grid, xq - PAD_LO_W, yq - PAD_LO_H))
+    got_f = np.asarray(bilinear_gather_keyed_p1(
+        grid, p1pk, keys[order], inv_p=1.0 / pscale, interpret=False))
+    np.testing.assert_allclose(got_f, want_q, rtol=1e-2, atol=2e-3)
+    sl = 0.013
+    got_q = np.asarray(bilinear_gather_keyed_q15(
+        grid, p1pk, keys[order], jnp.float32(1.0 / sl),
+        inv_p=1.0 / pscale, interpret=False)).astype(np.int64)
+
+    def q15_h(v):
+        t = np.clip(v / sl, -1.0, 1.0) * 0.5 + 0.5
+        return np.round(t * HALF).astype(np.int64)
+
+    # Gathered values exceed ±sl here — both fields saturate identically;
+    # tolerance in q15 steps covers the compiled matmul precision.
+    ref_q = q15_h(want_q[1]) * (HALF + 1) + q15_h(want_q[0])
+    assert np.abs((got_q & HALF) - (ref_q & HALF)).max() <= 2
+    assert np.abs((got_q >> 15) - (ref_q >> 15)).max() <= 2
+    print("bilinear_gather_keyed_p1/q15 compiled: ok", flush=True)
+
+    # --- resident reconstruct kernel ---
+    from tendrils_tpu.const import INERT
+    from tendrils_tpu.ops.draw_pallas import reconstruct_resident
+    m = 4096
+    npx = jnp.asarray(rng.uniform(-1, 1, m), jnp.float32)
+    npx = npx.at[7].set(INERT)
+    npy = jnp.asarray(rng.uniform(-1, 1, m), jnp.float32)
+    npy = npy.at[7].set(INERT)
+    vl = jnp.asarray(rng.randint(0, 2 ** 30, m), jnp.int32) \
+        + jnp.asarray(rng.randint(0, 2, m), jnp.int32) * (2 ** 30)
+    slr = jnp.float32(0.02)
+    part, prev = [np.asarray(v) for v in
+                  reconstruct_resident(npx, npy, vl, slr,
+                                       interpret=False)]
+    vel_u = np.asarray(vl) & (2 ** 30 - 1)
+    nvx = ((vel_u & HALF).astype(np.float32) * (2.0 / HALF) - 1.0) * 0.02
+    alive = (np.asarray(npx) != INERT) | (np.asarray(npy) != INERT)
+    np.testing.assert_allclose(part[0], np.asarray(npx), atol=1e-6)
+    np.testing.assert_allclose(part[2], nvx, atol=1e-6)
+    np.testing.assert_allclose(
+        prev[0], np.where(alive, np.asarray(npx) - nvx, np.asarray(npx)),
+        atol=1e-6)
+    print("reconstruct_resident compiled: ok", flush=True)
+
     # --- fused draw (pack + segment-direct splat) vs XLA accumulate ---
     p0 = jnp.stack([x, y], -1)
     p1 = p0 + jnp.asarray(rng.uniform(-2, 2, (n, 2)), jnp.float32)
@@ -104,6 +160,48 @@ def main():
                                rtol=5e-3, atol=5e-3 * float(fws.sum()))
     assert np.asarray(view_parts[1]).sum() > 0  # view deposited too
     print("fused_draw_accumulate compiled: ok", flush=True)
+
+    # --- fused resolve vs the XLA tail ---
+    from tendrils_tpu.ops import render
+    from tendrils_tpu.ops.draw_pallas import (N_CHAN, _widen_excess,
+                                              resolve_fused)
+    from tendrils_tpu.ops.splat import composite_over
+    hp, wp = pad_dims(h, w)
+    touched = (rng.uniform(0, 1, (hp, wp)) < 0.3).astype(np.float32)
+    accum = np.zeros((N_CHAN, hp, wp), np.float32)
+    accum[3] = rng.uniform(0, 3, (hp, wp)) * touched
+    accum[9] = rng.uniform(0, 3, (hp, wp)) * touched
+    for c in (0, 1, 2):
+        accum[c] = rng.uniform(-1, 1, (hp, wp)) * accum[3]
+    for c in range(5, 9):
+        accum[c] = rng.uniform(0, 1, (hp, wp)) * accum[9]
+    accum[4] = -rng.uniform(0, 2, (hp, wp)) * touched
+    accum[10] = -rng.uniform(0, 2, (hp, wp)) * touched
+    accum = jnp.asarray(accum)
+    flow0 = jnp.asarray(rng.uniform(-1, 1, (4, h, w)), jnp.float32)
+    view0 = jnp.asarray(rng.uniform(0, 1, (4, h, w)), jnp.float32)
+    fade = jnp.asarray([0.1, 0.2, 0.0, 0.5], jnp.float32)
+    args = (fade, jnp.float32(0.0), jnp.float32(16.0), jnp.float32(16.1),
+            jnp.float32(1.0), jnp.float32(2.0), jnp.float32(1.0))
+    got_f, got_v, got_e = [np.asarray(v) for v in resolve_fused(
+        accum, flow0, view0, *args, want_eff=True, interpret=False)]
+    out_c = accum[:, PAD_LO_H:PAD_LO_H + h, PAD_LO_W:PAD_LO_W + w]
+    fnum = jnp.concatenate([out_c[0:2], (16.0 * out_c[3])[None],
+                            out_c[2:3]])
+    ref_f = composite_over(flow0, *_widen_excess(
+        (fnum, out_c[3], out_c[4]), jnp.float32(2.0)))
+    v_in = render.fade_fill(view0, fade)
+    ref_v = composite_over(v_in, *_widen_excess(
+        (out_c[5:9], out_c[9], out_c[10]), jnp.float32(1.0)))
+    ref_e = ref_f[:2] * jnp.maximum(0.0,
+                                    1.0 - (16.1 - ref_f[2]) * 1.0)[None]
+    np.testing.assert_allclose(got_f, np.asarray(ref_f), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(got_v, np.asarray(ref_v), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(got_e, np.asarray(ref_e), rtol=1e-4,
+                               atol=1e-4)
+    print("resolve_fused compiled: ok", flush=True)
     print("tpu_smoke: ALL OK", flush=True)
 
 

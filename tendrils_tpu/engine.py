@@ -29,8 +29,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 from . import state as state_mod
 from .const import INERT
+
+# Opt-in (scripts/bisect_r3.py): derive_p0 + in-kernel colours on the
+# CLASSIC carried-force path (3-operand segment sort). The exact-p0 sort
+# key made this a +3.1 ms stray-visit regression (BENCHMARKS.md round-3
+# ledger); `_pack_core(key_recon=True)` fixes key consistency but the fix
+# is not yet TPU-measured — flip the default once it is.
+_DERIVE_CLASSIC = os.environ.get("TT_DERIVE", "") == "1"
 from .ops import coords, flow as flow_ops, logic, render, spawn as spawn_ops
 from .ops import splat as splat_ops
 from .timer import Timer
@@ -139,8 +148,30 @@ def resident_enabled(cfg: EngineConfig) -> bool:
             and cfg.resident_sort == 0 and not cfg.fused_step)
 
 
+def fast_resolve_ok(cfg: EngineConfig, src=None) -> bool:
+    """Whether the fused Pallas resolve can run: fused pallas draw path, an
+    aligned grid, and host-known line widths within the in-kernel budget
+    (`src`: the engine's host-side state dict or a concrete params dict —
+    traced/abstract values disable the fast path)."""
+    from .ops.draw_pallas import KMAX_WIDTH, resolve_eligible
+    h, w = cfg.view_res
+    if not (cfg.fused_draw and cfg.splat_backend == "pallas"
+            and cfg.flow_shape == cfg.view_res
+            and resolve_eligible(h, w)):
+        return False
+    if src is None:
+        return False
+    try:
+        fw = float(src.get("flowWidth", 1.0))
+        lw = float(src.get("lineWidth", 1.0))
+    except (TypeError, jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError):
+        return False
+    return max(fw, lw, 1.0) <= KMAX_WIDTH
+
+
 def force_from_aux(flow, aux, params, read_time, cfg: EngineConfig,
-                   unsort=True, n=None):
+                   unsort=True, n=None, eff=None):
     """Gather the next step's flow force from the CURRENT flow grid using
     the fused draw's segment-sorted aux stream — no sort on the way in (the
     stream is already tile-binned), one 3-operand un-sort on the way out.
@@ -155,41 +186,43 @@ def force_from_aux(flow, aux, params, read_time, cfg: EngineConfig,
     error `(dt_err · flowDecay · vel)`, far below force scale).
 
     `n`: row count of the force to return — defaults to `cfg.n`; sharded
-    callers pass their LOCAL particle count (aux ids are local rows)."""
+    callers pass their LOCAL particle count (aux ids are local rows).
+
+    `eff`: pre-decayed flow `f32[2, H, W]` (the fused Pallas resolve emits
+    it at `read_time`) — skips the full-grid decay pass here. Only valid
+    when `flow` hasn't been edited since the draw that produced it."""
     from .ops.draw_pallas import HALF, pos_scale_for
-    from .ops.gather_pallas import bilinear_gather_keyed
-    from .ops.tile_geom import PAD_LO_H, PAD_LO_W
+    from .ops.gather_pallas import (bilinear_gather_keyed_p1,
+                                    bilinear_gather_keyed_q15)
 
     gidx_s, gkey_s, p1_s = aux
     h, w = cfg.flow_shape
     inv_p = 1.0 / pos_scale_for((h, w))
-    # CLAMP_TO_EDGE content coords (padded frame), like the in-step gather.
-    xs = jnp.clip((p1_s & HALF).astype(jnp.float32) * inv_p,
-                  PAD_LO_W + 0.5, PAD_LO_W + w - 0.5)
-    ys = jnp.clip((p1_s >> 15).astype(jnp.float32) * inv_p,
-                  PAD_LO_H + 0.5, PAD_LO_H + h - 0.5)
-    eff = flow[:2] * jnp.maximum(
-        0.0, 1.0 - (read_time - flow[2]) * params["flowDecay"])[None]
+    if eff is None:
+        eff = flow[:2] * jnp.maximum(
+            0.0, 1.0 - (read_time - flow[2]) * params["flowDecay"])[None]
     n = cfg.n if n is None else n
-    f = bilinear_gather_keyed(eff, xs, ys, gkey_s)  # [2, M] sorted order
-    if not unsort:
-        return f[:, :n]
-    # Un-sort with ONE value operand: the two force components ride a
-    # 15+15-bit fixed-point word over ±speedLimit (|flow payload| <=
-    # speedLimit by construction; quantisation ~3e-5 of the force scale).
     sl = jnp.maximum(params["speedLimit"], 1e-12)
+    if unsort:
+        # Un-sort with ONE value operand: the two force components ride a
+        # 15+15-bit fixed-point word over ±speedLimit (|flow payload| <=
+        # speedLimit by construction; quantisation ~3e-5 of the force
+        # scale). The keyed gather unpacks p1, CLAMP_TO_EDGEs and q15
+        # -packs entirely in-kernel — the packed draw stream goes in, the
+        # un-sort's packed operand comes out, nothing else touches HBM.
+        packed = bilinear_gather_keyed_q15(eff, p1_s, gkey_s, 1.0 / sl,
+                                           inv_p=inv_p)
+        _, pk = jax.lax.sort([gidx_s, packed], num_keys=1)
 
-    def q15(v):
-        t = jnp.clip(v / sl, -1.0, 1.0) * 0.5 + 0.5
-        return jnp.round(t * HALF).astype(jnp.int32)
+        def unq(q):
+            return (q.astype(jnp.float32) * (2.0 / HALF) - 1.0) * sl
 
-    packed = q15(f[1]) * (HALF + 1) + q15(f[0])
-    _, pk = jax.lax.sort([gidx_s, packed], num_keys=1)
-
-    def unq(q):
-        return (q.astype(jnp.float32) * (2.0 / HALF) - 1.0) * sl
-
-    return jnp.stack([unq(pk[:n] & HALF), unq(pk[:n] >> 15)])
+        return jnp.stack([unq(pk[:n] & HALF), unq(pk[:n] >> 15)])
+    # Resident-stream mode keeps the exact f32 gather (sorted order IS the
+    # new row order — no quantisation on the way back); in-kernel p1
+    # unpack, like the q15 path.
+    f = bilinear_gather_keyed_p1(eff, p1_s, gkey_s, inv_p=inv_p)
+    return f[:, :n]
 
 
 def initial_force(sim: state_mod.SimState, params, cfg: EngineConfig,
@@ -346,7 +379,8 @@ def step_sim(sim: state_mod.SimState, params, time, dt, cfg: EngineConfig,
 
 def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
              view_size, axis_name=None, want_aux=False, resident=False,
-             targets_live=True):
+             targets_live=True, stepped=False, fast_resolve=False,
+             read_time=None, want_eff=False):
     """Flow + view render passes — ref `src/index.js:278-340`.
 
     With `axis_name` set (data-parallel shard_map over particles), the splat
@@ -357,6 +391,22 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
     flow-gather aux stream `(idx_s, gkey_s, p1_s)`, used by the frame
     functions to pre-gather the next step's flow force AFTER any flow
     injections (`force_from_aux`).
+
+    `stepped=True`: a logic step immediately preceded this draw in the same
+    trace, so `p1 = p0 + vel·viewScale` holds exactly — the p0 sort operand
+    is dropped and reconstructed in the splat kernel (`derive_p0`), and a
+    1x1 colour map moves the whole render colour model in-kernel too
+    (`scalar_color`), cutting the hot segment sort from 5 to 3 operands.
+    Standalone `draw()` (paused timer, no preceding step) must pass False.
+
+    `fast_resolve=True` (single-device fused path, in-kernel line widths,
+    aligned grid — the facade checks `draw_pallas.resolve_eligible` and the
+    host-side widths): the whole XLA resolve tail (pad slice, widen,
+    composite, autoClear + fade) runs as ONE Pallas pass. With
+    `want_eff=True` that pass also emits the decayed flow at `read_time`
+    and the return becomes `(sim', aux, eff)` — feed `eff` to
+    `force_from_aux` (only valid when nothing injects into the flow before
+    the gather).
 
     `resident=True` (hot frame path only — a step must immediately precede
     this draw): the exact f32 particle state rides the segment sort, and
@@ -399,11 +449,14 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
         from .ops.draw_pallas import fused_draw
         h, w = cfg.view_res
         # Colour-map lookup (XLA side; the rest of the render colour model
-        # runs inside the pack kernel). A 1x1 map in resident mode skips
-        # the per-particle lookup entirely — the splat kernel gets the four
-        # scalars and computes colours in-kernel (one fewer sort operand).
+        # runs inside the pack kernel). When a step immediately preceded
+        # this draw (`stepped`/resident), the p0 operand is derived
+        # in-kernel; a 1x1 map then also skips the per-particle lookup —
+        # the splat kernel gets the four scalars and computes colours
+        # in-kernel (two fewer sort operands on the hot path).
         resident = resident and want_aux
-        scalar_map = resident and cfg.color_map_res == (1, 1)
+        derive = resident or (stepped and _DERIVE_CLASSIC)
+        scalar_map = derive and cfg.color_map_res == (1, 1)
         mapped = None
         mapped_scalar = None
         if scalar_map:
@@ -414,10 +467,14 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
         p0 = coords.clip_to_pixel(p_clip0, (w, h))
         p1 = coords.clip_to_pixel(p_clip1, (w, h))
 
+        # The Pallas resolve applies autoClear + fade IN-KERNEL; the XLA
+        # tail pre-applies them here.
+        presolve = fast_resolve and axis_name is None and not resident
         view0 = sim.view[0]
-        view0 = view0 * (1.0 - params["autoClearView"])
-        view0 = render.fade_fill(view0, params["fadeColor"]
-                                 * params["autoFade"])
+        if not presolve:
+            view0 = view0 * (1.0 - params["autoClearView"])
+            view0 = render.fade_fill(view0, params["fadeColor"]
+                                     * params["autoFade"])
         # The aux id is the ROW number (not sim.idx — rows may be resident
         # -permuted): the carried force must realign to current row order.
         # In resident mode the aux id is sim.idx itself (the sorted ids
@@ -437,43 +494,38 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
                 ride += [sim.targets[0], sim.targets[1]]
         elif want_aux:
             idx_arg = jnp.arange(n_local, dtype=jnp.int32)
+        want_eff = want_eff and presolve and want_aux
         out = fused_draw(
             sim.flow, view0, p0, p1, vel, pos, mapped, live, params, time,
             grid_hw=(h, w), samples=cfg.view_samples,
             presort=(cfg.resident_sort == 0),
             idx=idx_arg, ride=ride,
-            derive_p0=resident, view_size=(view_size if resident
-                                           else None),
+            derive_p0=derive, view_size=(view_size if derive
+                                         else None),
             mapped_scalar=mapped_scalar,
+            resolve=("pallas" if presolve else "xla"),
+            read_time=read_time, want_eff=want_eff,
             psum=(None if axis_name is None
                   else functools.partial(jax.lax.psum,
                                          axis_name=axis_name)))
+        eff = out[-1] if want_eff else None
         new_flow, view0 = out[:2]
         if resident:
-            from .ops.draw_pallas import HALF
+            from .ops.draw_pallas import reconstruct_resident
             aux, ride_s = out[2], out[3]
             n = n_local
-            npx, npy = ride_s[0][:n], ride_s[1][:n]
-            # New velocity from the sorted splat stream's q15 fields
-            # (quantisation ~3e-5 of speedLimit — the scale the classic
-            # carried force already crossed). The live bit rides bit 30.
-            vl_s = ride_s[-1][:n]
-            vel_u = vl_s & (2 ** 30 - 1)
+            # One-pass state reassembly: new velocity from the sorted splat
+            # stream's q15 fields (quantisation ~3e-5 of speedLimit — the
+            # scale the classic carried force already crossed; the live bit
+            # rides bit 30), prev = pos - vel for live rows.
             sl = jnp.maximum(params["speedLimit"], 1e-12)
-
-            def unq(q):
-                return (q.astype(jnp.float32) * (2.0 / HALF) - 1.0) * sl
-
-            nvx = unq(vel_u & HALF)
-            nvy = unq(vel_u >> 15)
-            alive_s = (npx != INERT) | (npy != INERT)
-            particles = jnp.stack([npx, npy, nvx, nvy])
-            prev = jnp.stack([jnp.where(alive_s, npx - nvx, npx),
-                              jnp.where(alive_s, npy - nvy, npy),
-                              nvx, nvy])
+            rec = reconstruct_resident(
+                ride_s[0], ride_s[1], ride_s[-1], sl,
+                *((ride_s[2], ride_s[3]) if targets_live else (None, None)))
+            particles = rec[0][:, :n]
+            prev = rec[1][:, :n]
             if targets_live:
-                tz = jnp.zeros_like(npx)
-                targets = jnp.stack([ride_s[2][:n], ride_s[3][:n], tz, tz])
+                targets = rec[2][:, :n]
             else:
                 # Inert targets: pass through untouched (all-zero content
                 # is permutation-invariant, and a loop-invariant carry
@@ -486,6 +538,8 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
             return new_sim, aux
         new_sim = dataclasses.replace(sim, flow=new_flow,
                                       view=sim.view.at[0].set(view0))
+        if want_eff:
+            return new_sim, out[2], eff
         if want_aux:
             return new_sim, out[2]
         return new_sim
@@ -683,7 +737,9 @@ class Tendrils:
                               jnp.float32(self.timer.time),
                               jnp.float32(self.timer.dt), self.config,
                               self._view_size, resort=self._tick_resort(),
-                              targets_live=self._targets_live)
+                              targets_live=self._targets_live,
+                              fast_resolve=fast_resolve_ok(self.config,
+                                                           self.state))
         return self
 
     def frame(self):
@@ -696,7 +752,9 @@ class Tendrils:
                               jnp.float32(self.timer.time),
                               jnp.float32(self.timer.dt), self.config,
                               self._view_size, resort=self._tick_resort(),
-                              targets_live=self._targets_live)
+                              targets_live=self._targets_live,
+                              fast_resolve=fast_resolve_ok(self.config,
+                                                           self.state))
         return self
 
     # -- spawning
@@ -831,7 +889,8 @@ class Tendrils:
             jnp.float32(self.timer.dt), self.config, self._view_size,
             cm, color_alphas, seg, of, blur_t,
             resort=(False if paused else self._tick_resort()),
-            stepping=not paused, targets_live=self._targets_live)
+            stepping=not paused, targets_live=self._targets_live,
+            fast_resolve=fast_resolve_ok(self.config, self.state))
         return screen
 
     def composite_flow(self, payload_grid):
@@ -943,25 +1002,32 @@ def _resort_jit(sim, cfg, view_size):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "resort",
-                                             "targets_live"),
+                                             "targets_live",
+                                             "fast_resolve"),
                    donate_argnums=(0,))
 def _frame_jit(sim, params, time, dt, cfg, view_size, resort=False,
-               targets_live=True):
+               targets_live=True, fast_resolve=False):
     if resort:
         sim = resort_sim(sim, cfg, view_size, params)
     if not carry_enabled(cfg):
         sim = step_sim(sim, params, time, dt, cfg, view_size)
-        return draw_sim(sim, params, time, cfg, view_size)
+        return draw_sim(sim, params, time, cfg, view_size, stepped=True,
+                        fast_resolve=fast_resolve)
     resident = resident_enabled(cfg)
     if sim.force is not None and cfg.fused_step:
         sim, aux = frame_fused(sim, params, time, dt, cfg, view_size)
+        eff = None
     else:
         sim = step_sim(sim, params, time, dt, cfg, view_size)
-        sim, aux = draw_sim(sim, params, time, cfg, view_size,
-                            want_aux=True, resident=resident,
-                            targets_live=targets_live)
+        out = draw_sim(sim, params, time, cfg, view_size,
+                       want_aux=True, resident=resident,
+                       targets_live=targets_live, stepped=True,
+                       fast_resolve=fast_resolve, read_time=time + dt,
+                       want_eff=fast_resolve and not resident)
+        sim, aux = out[:2]
+        eff = out[2] if len(out) > 2 else None
     force = force_from_aux(sim.flow, aux, params, time + dt, cfg,
-                           unsort=not resident)
+                           unsort=not resident, eff=eff)
     return dataclasses.replace(sim, force=force)
 
 
@@ -978,11 +1044,12 @@ def _inject_flow(flow, p0_pix, p1_pix, vel, width, params, time, cfg,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "resort", "stepping",
-                                             "targets_live"),
+                                             "targets_live",
+                                             "fast_resolve"),
                    donate_argnums=(0,))
 def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
                   seg, of, blur, resort=False, stepping=True,
-                  targets_live=True):
+                  targets_live=True, fast_resolve=False):
     """One-dispatch interactive frame: [colormap blend] + step + draw +
     [flow-line inject] + [optical flow] + [vignette blur]. Optional stages
     are `None` (absence is part of the jit cache key via the pytree
@@ -1008,19 +1075,28 @@ def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
                                   color_map=post_ops.blend(views, cm_alphas))
 
     aux = None
+    eff = None
     resident = resident_enabled(cfg) and stepping
+    # The fused resolve may pre-compute the decayed flow for the gather
+    # only when nothing edits the flow between this draw and the gather.
+    want_eff = fast_resolve and seg is None and of is None
     if not stepping:
         sim = draw_sim(sim, params, time, cfg, view_size)
     elif carry and sim.force is not None and cfg.fused_step:
         sim, aux = frame_fused(sim, params, time, dt, cfg, view_size)
     elif carry:
         sim = step_sim(sim, params, time, dt, cfg, view_size)
-        sim, aux = draw_sim(sim, params, time, cfg, view_size,
-                            want_aux=True, resident=resident,
-                            targets_live=targets_live)
+        out = draw_sim(sim, params, time, cfg, view_size,
+                       want_aux=True, resident=resident,
+                       targets_live=targets_live, stepped=True,
+                       fast_resolve=fast_resolve, read_time=time + dt,
+                       want_eff=want_eff and not resident)
+        sim, aux = out[:2]
+        eff = out[2] if len(out) > 2 else None
     else:
         sim = step_sim(sim, params, time, dt, cfg, view_size)
-        sim = draw_sim(sim, params, time, cfg, view_size)
+        sim = draw_sim(sim, params, time, cfg, view_size, stepped=True,
+                       fast_resolve=fast_resolve)
 
     if seg is not None:
         p0, p1, vel, width = seg
@@ -1045,7 +1121,7 @@ def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
         # (after injections — the reference's logic pass sees flow lines and
         # optical flow written this frame, `demo.main.js:1107-1160`).
         force = force_from_aux(sim.flow, aux, params, time + dt, cfg,
-                               unsort=not resident)
+                               unsort=not resident, eff=eff)
         sim = dataclasses.replace(sim, force=force)
 
     screen = None
@@ -1056,7 +1132,7 @@ def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
 
 
 def run_headless(sim, params, cfg: EngineConfig, view_size, t0, dt, steps,
-                 targets_live=True):
+                 targets_live=True, fast_resolve=None):
     """Fixed-step headless run under `lax.scan` (SURVEY §7 pillar 2).
 
     Only the leaves a frame actually mutates ride the scan carry —
@@ -1076,6 +1152,8 @@ def run_headless(sim, params, cfg: EngineConfig, view_size, t0, dt, steps,
         sim = dataclasses.replace(sim, force=None)
 
     resident = resident_enabled(cfg)
+    if fast_resolve is None:
+        fast_resolve = fast_resolve_ok(cfg, params)
 
     def body(sim, i):
         time = t0 + dt * (i + 1)
@@ -1085,15 +1163,20 @@ def run_headless(sim, params, cfg: EngineConfig, view_size, t0, dt, steps,
             sim = dataclasses.replace(sim, force=force)
         elif carry:
             sim = step_sim(sim, params, time, dt, cfg, view_size)
-            sim, aux = draw_sim(sim, params, time, cfg, view_size,
-                                want_aux=True, resident=resident,
-                                targets_live=targets_live)
+            out = draw_sim(sim, params, time, cfg, view_size,
+                           want_aux=True, resident=resident,
+                           targets_live=targets_live, stepped=True,
+                           fast_resolve=fast_resolve, read_time=time + dt,
+                           want_eff=fast_resolve and not resident)
+            sim, aux = out[:2]
+            eff = out[2] if len(out) > 2 else None
             force = force_from_aux(sim.flow, aux, params, time + dt, cfg,
-                                   unsort=not resident)
+                                   unsort=not resident, eff=eff)
             sim = dataclasses.replace(sim, force=force)
         else:
             sim = step_sim(sim, params, time, dt, cfg, view_size)
-            sim = draw_sim(sim, params, time, cfg, view_size)
+            sim = draw_sim(sim, params, time, cfg, view_size, stepped=True,
+                           fast_resolve=fast_resolve)
         return sim, ()
 
     k = cfg.resident_sort

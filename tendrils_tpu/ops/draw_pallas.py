@@ -39,8 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..const import INERT
 from .noise import snoise3_xyz
 from .splat import composite_over
-from .tile_geom import (PAD_LO_H, PAD_LO_W, REGION_H, REGION_W, TILE_H,
-                        TILE_W, pad_dims as _pad_dims)
+from .tile_geom import (HALF, PAD_LO_H, PAD_LO_W, REGION_H, REGION_W,
+                        TILE_H, TILE_W, pad_dims as _pad_dims)
 
 # 16x256-px content tiles (tile_geom): 4x fewer tile visits than the generic
 # backend's 8x128, and the bf16 MXU eats the 2.25x-bigger matmul. Block of
@@ -64,7 +64,6 @@ N_WIN = BLOCK // WIN
 # time · wsum), saving a channel.
 N_CHAN = 11
 N_FLOW = 5  # flow channels (vx·α, vy·α, wf·α, α, log(1-α)) lead the stack
-HALF = 32767  # 15-bit field max
 COLOR_MAX = 4.0  # colour channels clamp range for fixed-point
 # Max in-kernel line width: a sample keyed by its segment's bbox-top tile
 # deposits inside that tile's region; REGION_H=32 splits its 16-row margin
@@ -514,9 +513,18 @@ def _emit_render_rgba(scal_ref, vnx, vny, posx, posy, mr, mg, mb, ma,
 def _pack_core(scal_ref, p0x, p0y, p1x, p1y, vx, vy, posx, posy,
                mr, mg, mb, ma, live_in, idx,
                keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref, grefs, *,
-               tiles_x, pscale, h, w, gather, emit_rgba=True):
+               tiles_x, pscale, h, w, gather, emit_rgba=True,
+               key_recon=False):
     """Shared packing math over VALUE arrays (see _pack_kernel docstring);
-    also the tail of the fused step+pack kernel."""
+    also the tail of the fused step+pack kernel.
+
+    `key_recon=True` (derive_p0 splat): the segment sort key is computed
+    from the RECONSTRUCTED p0 (quantised p1 − q15-roundtripped vel — the
+    exact arithmetic the splat kernel will redo, `_kernel` derive_p0)
+    instead of the exact p0. The two must agree BIT-EXACTLY: a key that
+    differs from the splat's re-derivation becomes a stray tile visit, and
+    ~0.1% strays measurably multiply the region-DMA count (+3 ms/step at
+    1M/1080p when keys came from exact p0 — round-3 ledger)."""
     sl = jnp.maximum(scal_ref[0, 0], 1e-12)
 
     def qpos(x, y):
@@ -556,10 +564,27 @@ def _pack_core(scal_ref, p0x, p0y, p1x, p1y, vx, vy, posx, posy,
     hwm = jnp.maximum(jnp.clip(scal_ref[0, 2], 1.0, KMAX_WIDTH),
                       jnp.clip(scal_ref[0, 3], 1.0, KMAX_WIDTH)) * 0.5
     inv_p = 1.0 / pscale
-    top_x = jnp.maximum(jnp.minimum(x0q, x1q).astype(jnp.float32) * inv_p
-                        - hwm, 0.0)
-    top_y = jnp.maximum(jnp.minimum(y0q, y1q).astype(jnp.float32) * inv_p
-                        - hwm, 0.0)
+    if key_recon:
+        # Mirror `_kernel` derive_p0 bit for bit: decode the quantised p1,
+        # roundtrip the velocity through its q15 word, Euler-invert.
+        sl_raw = scal_ref[0, 0]
+        vxr = (q15(vnx, -1.0, 1.0).astype(jnp.float32) * (2.0 / HALF)
+               - 1.0) * sl_raw
+        vyr = (q15(vny, -1.0, 1.0).astype(jnp.float32) * (2.0 / HALF)
+               - 1.0) * sl_raw
+        p1xd = x1q.astype(jnp.float32) * inv_p
+        p1yd = y1q.astype(jnp.float32) * inv_p
+        p0xd = jnp.clip(p1xd - vxr * (scal_ref[0, 30] * 0.5 * w),
+                        1.0, PAD_LO_W + w + 1.0)
+        p0yd = jnp.clip(p1yd - vyr * (scal_ref[0, 31] * 0.5 * h),
+                        1.0, PAD_LO_H + h + 1.0)
+        top_x = jnp.maximum(jnp.minimum(p0xd, p1xd) - hwm, 0.0)
+        top_y = jnp.maximum(jnp.minimum(p0yd, p1yd) - hwm, 0.0)
+    else:
+        top_x = jnp.maximum(jnp.minimum(x0q, x1q).astype(jnp.float32)
+                            * inv_p - hwm, 0.0)
+        top_y = jnp.maximum(jnp.minimum(y0q, y1q).astype(jnp.float32)
+                            * inv_p - hwm, 0.0)
     krow = jnp.floor(top_y).astype(jnp.int32) // TILE_H
     kcol = jnp.floor(top_x).astype(jnp.int32) // TILE_W
     keym = krow * tiles_x + kcol
@@ -635,12 +660,12 @@ def _pack_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
                (idx_ref[:] if gather else None),
                keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref, grefs,
                tiles_x=tiles_x, pscale=pscale, h=h, w=w, gather=gather,
-               emit_rgba=emit_rgba)
+               emit_rgba=emit_rgba, key_recon=not emit_p0)
 
 
 def _bin_and_splat(scal, outs, gather, time, *, presort, tiles_x, pscale,
                    samples, h, w, hp, wp, n_pad, interpret, ride=None,
-                   derive_p0=False, scalar_color=False):
+                   derive_p0=False, scalar_color=False, raw_accum=False):
     """Shared pipeline tail: segment sort (with the optional gather
     stream), segment-direct splat kernel, payload reassembly. Returns
     (flow_parts, view_parts, aux, ride_sorted).
@@ -746,6 +771,12 @@ def _bin_and_splat(scal, outs, gather, time, *, presort, tiles_x, pscale,
         interpret=interpret,
     )(*splat_in)
 
+    if raw_accum:
+        # The Pallas resolve kernel consumes the PADDED accumulator
+        # directly (slice/stamp/composite all fuse there).
+        if ride:
+            ride = ride + [vlu]
+        return out, None, aux, ride
     out = out[:, PAD_LO_H:PAD_LO_H + h, PAD_LO_W:PAD_LO_W + w]
     # Reassemble the flow payload: stamp num = time · wsum (constant stamp).
     stamp_num = time * out[3]
@@ -768,7 +799,7 @@ def pos_scale_for(grid_hw):
 
 @functools.partial(jax.jit, static_argnames=("grid_hw", "samples",
                                              "interpret", "presort",
-                                             "derive_p0"))
+                                             "derive_p0", "raw_accum"))
 def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
                           live, speed_limit, time, *, idx=None, ride=None,
                           samples=2,
@@ -776,7 +807,7 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
                           line_width=1.0, speed_alpha=1.0, sin_decay=0.0,
                           flow_decay=0.0, base_color=None, flow_color=None,
                           derive_p0=False, view_size=None,
-                          mapped_scalar=None):
+                          mapped_scalar=None, raw_accum=False):
     """Accumulate both passes' splats.
 
     `p0_pix`/`p1_pix`: `f32[N, 2]` segment endpoints (window px of the shared
@@ -919,7 +950,7 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
         scal, outs, gather, time, presort=presort, tiles_x=tiles_x,
         pscale=pscale, samples=samples, h=h, w=w, hp=hp, wp=wp,
         n_pad=n_pad, interpret=interpret, ride=ride, derive_p0=derive_p0,
-        scalar_color=scalar_color)
+        scalar_color=scalar_color, raw_accum=raw_accum)
     if ride is not None:
         return flow_parts, view_parts, aux, ride_s
     if idx is None:
@@ -944,6 +975,235 @@ def _widen_excess(parts, width):
         lambda s: _box_blur_traced(s, radius),
         lambda s: s, stack) * scale
     return stack[:-2], stack[-2], stack[-1]
+
+
+def _resolve_kernel(scal_ref, accum_ref, flow_ref, view_ref, *rest, w, rb,
+                    want_eff, n_steps):
+    """Fused resolve of the splat accumulator: one Pallas pass replaces the
+    whole XLA tail — pad slice, stamp reassembly, narrow-width scale,
+    `composite_over` for both passes, `autoClearView` + fade fill, and
+    (optionally) the next step's effective decayed flow for the carried
+    -force gather. At ~0.4 ms per XLA kernel launch on this device the tail
+    was ~8-10 launches of full-grid traffic; here it is one kernel that
+    reads each pixel once.
+
+    accum: f32[N_CHAN, hp, wp] in HBM (the splat kernel's padded output) —
+    content rows are DMA'd per block, double-buffered across grid steps.
+    flow/view: f32[4, rb, w] blocks of the previous grids.
+    Outputs: new flow, new view (+ eff f32[2, rb, w] when `want_eff`).
+
+    scal f32[1, 16] SMEM: [0] time, [1] read_time, [2] flowDecay,
+    [3] autoClearView, [4..7] fadeColor·autoFade, [8] flow widen scale,
+    [9] view widen scale, [10] eps."""
+    if want_eff:
+        nf_ref, nv_ref, eff_ref = rest[:3]
+        scratch, sems = rest[3:]
+    else:
+        nf_ref, nv_ref = rest[:2]
+        eff_ref = None
+        scratch, sems = rest[2:]
+
+    b = pl.program_id(0)
+    slot = jax.lax.rem(b, 2)
+
+    def copies(bi, sl):
+        return [pltpu.make_async_copy(
+            accum_ref.at[ch, pl.ds(PAD_LO_H + bi * rb, rb),
+                         pl.ds(PAD_LO_W, w)],
+            scratch.at[sl, ch], sems.at[sl, ch])
+            for ch in range(N_CHAN)]
+
+    @pl.when(b == 0)
+    def _():
+        for dma in copies(0, 0):
+            dma.start()
+
+    @pl.when(b + 1 < n_steps)
+    def _():
+        for dma in copies(b + 1, 1 - slot):
+            dma.start()
+
+    for dma in copies(b, slot):
+        dma.wait()
+
+    a = [scratch[slot, ch] for ch in range(N_CHAN)]
+    time = scal_ref[0, 0]
+    read_time = scal_ref[0, 1]
+    fdecay = scal_ref[0, 2]
+    ac = scal_ref[0, 3]
+    fade = [scal_ref[0, 4 + i] for i in range(4)]
+    sf = scal_ref[0, 8]
+    sv = scal_ref[0, 9]
+    eps = scal_ref[0, 10]
+
+    # Flow resolve (splat.composite_over semantics; stamp num = time·wsum).
+    wsum_f = a[3] * sf
+    t_f = jnp.exp(a[4] * sf)
+    gain_f = (1.0 - t_f) / jnp.maximum(wsum_f, eps)
+    fnum = (a[0] * sf, a[1] * sf, time * wsum_f, a[2] * sf)
+    nf = [flow_ref[k] * t_f + fnum[k] * gain_f for k in range(4)]
+    for k in range(4):
+        nf_ref[k] = nf[k]
+
+    # View resolve over the cleared + faded previous view.
+    fa = fade[3]
+    wsum_v = a[9] * sv
+    t_v = jnp.exp(a[10] * sv)
+    gain_v = (1.0 - t_v) / jnp.maximum(wsum_v, eps)
+    for k in range(4):
+        v0 = view_ref[k] * (1.0 - ac)
+        v0 = fade[k] * fa + v0 * (1.0 - fa)
+        nv_ref[k] = v0 * t_v + (a[5 + k] * sv) * gain_v
+
+    if want_eff:
+        # Effective decayed flow at the NEXT step's read time — feeds the
+        # carried-force keyed gather with no further full-grid pass.
+        decay = jnp.maximum(0.0, 1.0 - (read_time - nf[2]) * fdecay)
+        eff_ref[0] = nf[0] * decay
+        eff_ref[1] = nf[1] * decay
+
+
+def _resolve_rb(h, w, want_eff):
+    """Row-block height: largest divisor of `h` fitting the VMEM budget
+    (scratch 2·11 rows + double-buffered in/out blocks)."""
+    rows_equiv = 2 * N_CHAN + 16 + 16 + (4 if want_eff else 0)
+    budget = 12 * 2 ** 20
+    for rb in (40, 32, 24, 16, 8):
+        if h % rb == 0 and rows_equiv * rb * w * 4 <= budget:
+            return rb
+    return None
+
+
+def resolve_eligible(h, w):
+    """Whether the Pallas resolve path supports this grid (alignment of the
+    accumulator's content DMA + row blocking)."""
+    return w % 128 == 0 and _resolve_rb(h, w, True) is not None
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "want_eff"))
+def resolve_fused(accum, flow, view, fade_rgba, auto_clear, time,
+                  read_time, flow_decay, flow_width, line_width, *,
+                  want_eff=False, interpret=None):
+    """Resolve both passes' padded accumulator over the previous flow/view
+    grids in ONE Pallas pass (see `_resolve_kernel`). Only valid for
+    in-kernel line widths (<= KMAX_WIDTH — the engine routes wider strokes
+    through the XLA `_widen_excess` tail). Returns `(new_flow, new_view)`
+    or `(new_flow, new_view, eff)` with `want_eff` (eff: the decayed flow
+    at `read_time`, content layout, for `bilinear_gather_keyed`)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    _, h, w = flow.shape
+    rb = _resolve_rb(h, w, want_eff)
+    n_steps = h // rb
+
+    def scale_of(width):
+        width = jnp.maximum(width, 1.0)
+        return width / jnp.minimum(width, KMAX_WIDTH)
+
+    scal = jnp.concatenate([
+        jnp.stack([jnp.float32(time), jnp.float32(read_time),
+                   jnp.float32(flow_decay), jnp.float32(auto_clear)]),
+        jnp.asarray(fade_rgba, jnp.float32),
+        jnp.stack([scale_of(flow_width), scale_of(line_width),
+                   jnp.float32(1e-6)]),
+        jnp.zeros(5, jnp.float32)])[None]  # [1, 16]
+
+    grid_spec = pl.BlockSpec((4, rb, w), lambda b: (0, b, 0),
+                             memory_space=pltpu.VMEM)
+    smem_scal = pl.BlockSpec((1, 16), lambda b: (0, 0),
+                             memory_space=pltpu.SMEM)
+    n_out = 3 if want_eff else 2
+    out_specs = [grid_spec, grid_spec]
+    out_shape = [jax.ShapeDtypeStruct((4, h, w), jnp.float32)] * 2
+    if want_eff:
+        out_specs.append(pl.BlockSpec((2, rb, w), lambda b: (0, b, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((2, h, w), jnp.float32))
+    outs = pl.pallas_call(
+        functools.partial(_resolve_kernel, w=w, rb=rb, want_eff=want_eff,
+                          n_steps=n_steps),
+        grid=(n_steps,),
+        in_specs=[smem_scal, pl.BlockSpec(memory_space=pl.ANY),
+                  grid_spec, grid_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, N_CHAN, rb, w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, N_CHAN)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(scal, accum, flow, view)
+    return tuple(outs[:n_out])
+
+
+def _reconstruct_kernel(sl_ref, npx_ref, npy_ref, vl_ref, *rest, targets):
+    """Resident-stream state reassembly in ONE pass (see
+    `reconstruct_resident`)."""
+    if targets:
+        tx_ref, ty_ref, part_ref, prev_ref, targ_ref = rest
+    else:
+        part_ref, prev_ref = rest
+    sl = sl_ref[0, 0]
+    npx = npx_ref[:]
+    npy = npy_ref[:]
+    vel_u = vl_ref[:] & (2 ** 30 - 1)
+    nvx = ((vel_u & HALF).astype(jnp.float32) * (2.0 / HALF) - 1.0) * sl
+    nvy = ((vel_u >> 15).astype(jnp.float32) * (2.0 / HALF) - 1.0) * sl
+    alive = (npx != INERT) | (npy != INERT)
+    part_ref[0] = npx
+    part_ref[1] = npy
+    part_ref[2] = nvx
+    part_ref[3] = nvy
+    prev_ref[0] = jnp.where(alive, npx - nvx, npx)
+    prev_ref[1] = jnp.where(alive, npy - nvy, npy)
+    prev_ref[2] = nvx
+    prev_ref[3] = nvy
+    if targets:
+        zeros = jnp.zeros_like(npx)
+        targ_ref[0] = tx_ref[:]
+        targ_ref[1] = ty_ref[:]
+        targ_ref[2] = zeros
+        targ_ref[3] = zeros
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def reconstruct_resident(npx, npy, vl, speed_limit, tx=None, ty=None,
+                         interpret=None):
+    """Reassemble the resident-stream frame's particle state from the
+    sorted ride streams in one Pallas pass: un-quantise the q15 velocity
+    word, rebuild `particles`/`previous` `f32[4, M]` (prev = pos − vel for
+    live rows, the state-at-frame pairing `src/state/state-at-frame.glsl`),
+    and optionally re-stack the targets — replacing the ~6-launch XLA
+    elementwise tail and its two extra full-state HBM round trips.
+    Returns `(particles, previous[, targets])`; the caller slices `[:n]`."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    m = npx.shape[0]
+    # Draw streams are padded to the splat's segment-block multiple
+    # (BLOCK // samples) — pick the largest lane-aligned divisor.
+    blk = next(b for b in (4096, 2048, 1024, 512, 256, 128) if m % b == 0)
+    targets = tx is not None
+    blocked = pl.BlockSpec((blk,), lambda b: (b,),
+                           memory_space=pltpu.VMEM)
+    out4 = pl.BlockSpec((4, blk), lambda b: (0, b),
+                        memory_space=pltpu.VMEM)
+    n_out = 3 if targets else 2
+    args = [jnp.reshape(jnp.asarray(speed_limit, jnp.float32), (1, 1)),
+            npx, npy, vl] + ([tx, ty] if targets else [])
+    return pl.pallas_call(
+        functools.partial(_reconstruct_kernel, targets=targets),
+        grid=(m // blk,),
+        in_specs=[pl.BlockSpec((1, 1), lambda b: (0, 0),
+                               memory_space=pltpu.SMEM)]
+        + [blocked] * (5 if targets else 3),
+        out_specs=[out4] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((4, m), jnp.float32)] * n_out,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(*args)
 
 
 def _step_pack_kernel(scal_ref, px_ref, py_ref, vx_ref, vy_ref, tx_ref,
@@ -1156,7 +1416,8 @@ def fused_step_draw(flow, view, particles, targets, force, idx, mapped,
 def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
                params, time, *, grid_hw, samples=2, interpret=None,
                presort=True, idx=None, ride=None, psum=None,
-               derive_p0=False, view_size=None, mapped_scalar=None):
+               derive_p0=False, view_size=None, mapped_scalar=None,
+               resolve="xla", read_time=None, want_eff=False):
     """Full fused draw: accumulate with in-kernel per-pass line widths
     (`flowWidth` for the flow deposit, `lineWidth` for the view deposit —
     ref `src/index.js:302,336` set `gl.lineWidth` per pass) and the in-kernel
@@ -1168,7 +1429,17 @@ def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
     `psum`: optional reduction of the accumulated parts across a shard_map
     axis before the resolve — the deposit channels (numerators, weight sums,
     log-transmittances) are all order-independent sums, so data-parallel
-    shards compose exactly."""
+    shards compose exactly.
+
+    `resolve="pallas"` (single-device, narrow widths, aligned grid —
+    `resolve_eligible`): the whole XLA resolve tail runs as one Pallas pass
+    (`_resolve_kernel`), INCLUDING `autoClearView` + fade fill of the
+    previous view — the caller passes `view` un-faded. With `want_eff` a
+    third output is the decayed flow at `read_time` for the carried-force
+    gather; return becomes `(new_flow, new_view[, aux][, eff])`."""
+    pallas_resolve = resolve == "pallas"
+    if pallas_resolve:
+        assert psum is None and ride is None
     out = fused_draw_accumulate(
         grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
         params["speedLimit"], time, idx=idx, ride=ride, samples=samples,
@@ -1178,7 +1449,24 @@ def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
         speed_alpha=params["speedAlpha"],
         sin_decay=jnp.sin(time * params["flowDecay"]),
         flow_decay=params["flowDecay"],
-        base_color=params["baseColor"], flow_color=params["flowColor"])
+        base_color=params["baseColor"], flow_color=params["flowColor"],
+        raw_accum=pallas_resolve)
+    if pallas_resolve:
+        accum = out[0]
+        res = resolve_fused(
+            accum, flow, view,
+            params["fadeColor"] * params["autoFade"],
+            params["autoClearView"], time,
+            time if read_time is None else read_time,
+            params["flowDecay"], params["flowWidth"], params["lineWidth"],
+            want_eff=want_eff, interpret=interpret)
+        new_flow, new_view = res[:2]
+        ret = [new_flow, new_view]
+        if idx is not None:
+            ret.append(out[2])
+        if want_eff:
+            ret.append(res[2])
+        return tuple(ret)
     flow_parts, view_parts = out[:2]
     if psum is not None:
         flow_parts = psum(flow_parts)

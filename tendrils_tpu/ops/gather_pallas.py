@@ -29,8 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .tile_geom import (PAD_LO_H, PAD_LO_W, REGION_H, REGION_W, TILE_H,
-                        TILE_W, pad_dims as _pad_dims)
+from .tile_geom import (HALF, PAD_LO_H, PAD_LO_W, REGION_H, REGION_W,
+                        TILE_H, TILE_W, pad_dims as _pad_dims)
 
 BLOCK = 4096
 # Windowed matmuls (see draw_pallas): per tile visit, only the 512-sample
@@ -40,20 +40,59 @@ WIN = 512
 N_WIN = BLOCK // WIN
 
 
-def _kernel(key_ref, x_ref, y_ref, grid_ref, out_ref, region, sems, *,
-            tiles_x, n_chan, hp):
+def _content_ok(h, w):
+    """Whether the kernel can read the grid in content layout (clamped
+    region DMAs, no XLA pad pass): region must fit and clamped starts must
+    stay 8/128-aligned."""
+    return (h >= REGION_H and w >= REGION_W
+            and h % 8 == 0 and w % 128 == 0)
+
+
+def _kernel(key_ref, x_ref, y_ref, grid_ref, out_ref, *rest, tiles_x,
+            n_chan, hp, content_hw=None, from_p1=None, pack=False):
     """One block of sorted sample points (padded-grid pixel coords).
 
     grid: f32[n_chan*HP, WP] in HBM (channels stacked on rows — every DMA
     slice is tile-aligned). region scratch: f32[n_chan*REGION_H, REGION_W].
     out: f32[n_chan, BLOCK] gathered values (sorted order).
-    """
+
+    `content_hw=(h, w)`: the grid is the UNPADDED `[n_chan*h, w]` content
+    (h % 8 == 0, w % 128 == 0, h >= REGION_H, w >= REGION_W) — each tile's
+    region DMA start is clamped into the content so no XLA pad pass runs
+    before the kernel. Sample coords/keys stay in padded convention; the
+    fits contract guarantees every bilinear corner lies inside the clamped
+    region (corners are >= the unclamped region start and < content end).
+
+    `from_p1=(inv_p, xlo, xhi, ylo, yhi)` (static floats — the carried
+    -force fast paths): `x_ref` is the draw's packed fixed-point p1 stream
+    `i32[BLOCK]` (x in the low 15 bits, y in the high — unpacked and
+    clamped in-kernel); `y_ref` is an SMEM `f32[1, 1]` scalar (only read
+    when `pack`).
+
+    `pack=True` (requires from_p1, n_chan == 2): `y_ref` holds
+    `1/speedLimit` and `out_ref` is `i32[1, BLOCK]`: the gathered force
+    packed as two q15 fields over ±speedLimit — exactly the one value
+    operand the engine's force un-sort rides (`engine.force_from_aux`)."""
+    if pack:
+        facc, region, sems = rest
+    else:
+        facc = None
+        region, sems = rest
+
     key = key_ref[:]
     t_hi = jnp.max(key)  # works sorted or merely clustered
 
     # Hoisted corner/weight derivation.
-    gx = x_ref[:] - 0.5
-    gy = y_ref[:] - 0.5
+    if from_p1 is None:
+        gx = x_ref[:] - 0.5
+        gy = y_ref[:] - 0.5
+    else:
+        inv_p, xlo, xhi, ylo, yhi = from_p1
+        p1 = x_ref[:]
+        gx = jnp.clip((p1 & HALF).astype(jnp.float32) * inv_p,
+                      xlo, xhi) - 0.5
+        gy = jnp.clip((p1 >> 15).astype(jnp.float32) * inv_p,
+                      ylo, yhi) - 0.5
     c0f = jnp.floor(gx)
     r0f = jnp.floor(gy)
     wx0 = 1.0 - (gx - c0f)
@@ -61,7 +100,8 @@ def _kernel(key_ref, x_ref, y_ref, grid_ref, out_ref, region, sems, *,
     r0 = r0f.astype(jnp.int32)
     c0 = c0f.astype(jnp.int32)
 
-    out_ref[:] = jnp.zeros_like(out_ref)
+    acc = out_ref if facc is None else facc
+    acc[:] = jnp.zeros_like(acc)
 
     # Hoisted per-window key ranges for the pl.when gates (per-visit
     # membership reductions are scalar-unit-bound; ranges are tight on
@@ -74,12 +114,27 @@ def _kernel(key_ref, x_ref, y_ref, grid_ref, out_ref, region, sems, *,
         tx = t - ty * tiles_x
         row0 = ty * TILE_H
         col0 = tx * TILE_W
+        if content_hw is None:
+            src_row = row0
+            src_col = col0
+            src_h = hp
+        else:
+            # Clamp the region into the unpadded content. Clamp in TILE
+            # units and multiply by the tiling constant LAST so Mosaic can
+            # prove the dynamic slice start divisible by (8, 128)
+            # (h % 8 == 0 and w % 128 == 0 make the bounds exact).
+            ch_, cw_ = content_hw
+            src_row = jnp.clip((row0 - PAD_LO_H) // 8, 0,
+                               (ch_ - REGION_H) // 8) * 8
+            src_col = jnp.clip((col0 - PAD_LO_W) // 128, 0,
+                               (cw_ - REGION_W) // 128) * 128
+            src_h = ch_
 
         copies = []
         for ch in range(n_chan):
             dma = pltpu.make_async_copy(
-                grid_ref.at[pl.ds(ch * hp + row0, REGION_H),
-                            pl.ds(col0, REGION_W)],
+                grid_ref.at[pl.ds(ch * src_h + src_row, REGION_H),
+                            pl.ds(src_col, REGION_W)],
                 region.at[pl.ds(ch * REGION_H, REGION_H), :],
                 sems.at[ch])
             dma.start()
@@ -87,14 +142,23 @@ def _kernel(key_ref, x_ref, y_ref, grid_ref, out_ref, region, sems, *,
         for dma in copies:
             dma.wait()
 
+        # Region start in PADDED sample coords (content grids shift by the
+        # clamped region origin; r0/c0 stay in the padded convention).
+        if content_hw is None:
+            reg_row = row0
+            reg_col = col0
+        else:
+            reg_row = src_row + PAD_LO_H
+            reg_col = src_col + PAD_LO_W
+
         for w in range(N_WIN):
             sl = slice(w * WIN, (w + 1) * WIN)
 
             @pl.when((wlo[w] <= t) & (whi[w] >= t))
             def _(w=w, sl=sl):
                 mask = (key[sl] == t)
-                lr = r0[sl] - row0
-                lc = c0[sl] - col0
+                lr = r0[sl] - reg_row
+                lc = c0[sl] - reg_col
 
                 # X^T[REGION_W, WIN] / A^T[REGION_H, WIN], natural
                 # orientation.
@@ -119,11 +183,23 @@ def _kernel(key_ref, x_ref, y_ref, grid_ref, out_ref, region, sems, *,
                     val = jnp.sum(
                         at * gt[ch * REGION_H:(ch + 1) * REGION_H, :],
                         axis=0)
-                    out_ref[ch, sl] = out_ref[ch, sl] + val
+                    acc[ch, sl] = acc[ch, sl] + val
 
         return jnp.min(jnp.where(key > t, key, jnp.int32(2 ** 30)))
 
     jax.lax.while_loop(lambda t: t <= t_hi, tile_step, jnp.min(key))
+
+    if pack:
+        # Pack the gathered force as the un-sort's single value operand
+        # (mirrors `engine.force_from_aux`'s q15; quantisation ~3e-5 of
+        # the force scale).
+        inv_sl = y_ref[0, 0]
+
+        def q(v):
+            t = jnp.clip(v * inv_sl, -1.0, 1.0) * 0.5 + 0.5
+            return jnp.round(t * HALF).astype(jnp.int32)
+
+        out_ref[0, :] = q(facc[1]) * (HALF + 1) + q(facc[0])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "clustered"))
@@ -153,11 +229,17 @@ def bilinear_gather(grid, x, y, interpret=None, clustered=False):
     xs = jnp.clip(x, 0.5, w - 0.5) + PAD_LO_W
     ys = jnp.clip(y, 0.5, h - 0.5) + PAD_LO_H
 
-    # Padded source with channels stacked along rows: [C*HP, WP] — a free
-    # reshape, and every kernel DMA slice is tile-aligned.
-    gpad = jnp.pad(grid, ((0, 0), (PAD_LO_H, hp - h - PAD_LO_H),
-                          (PAD_LO_W, wp - w - PAD_LO_W)))
-    gpad_t = gpad.reshape(c * hp, wp)
+    # Content-layout source when the grid is big + aligned enough: the
+    # kernel clamps each region DMA into the content, so the XLA pad pass
+    # (a full-grid copy + launch every frame) disappears. Small/odd grids
+    # keep the padded layout.
+    content = _content_ok(h, w)
+    if content:
+        gsrc = grid.reshape(c * h, w)
+    else:
+        gpad = jnp.pad(grid, ((0, 0), (PAD_LO_H, hp - h - PAD_LO_H),
+                              (PAD_LO_W, wp - w - PAD_LO_W)))
+        gsrc = gpad.reshape(c * hp, wp)
 
     key = ((jnp.floor(ys - 0.5).astype(jnp.int32) // TILE_H) * tiles_x
            + (jnp.floor(xs - 0.5).astype(jnp.int32) // TILE_W))
@@ -169,7 +251,8 @@ def bilinear_gather(grid, x, y, interpret=None, clustered=False):
     blocked = pl.BlockSpec((BLOCK,), lambda b: (b,),
                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_kernel, tiles_x=tiles_x, n_chan=c, hp=hp),
+        functools.partial(_kernel, tiles_x=tiles_x, n_chan=c, hp=hp,
+                          content_hw=((h, w) if content else None)),
         grid=(m_pad // BLOCK,),
         in_specs=[blocked, blocked, blocked,
                   pl.BlockSpec(memory_space=pl.ANY)],
@@ -183,7 +266,7 @@ def bilinear_gather(grid, x, y, interpret=None, clustered=False):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(key, xs, ys, gpad_t)
+    )(key, xs, ys, gsrc)
 
     if clustered:
         return out[:, :m]
@@ -217,14 +300,19 @@ def bilinear_gather_keyed(grid, xs, ys, keys, interpret=None):
         ys = jnp.pad(ys, (0, pad), constant_values=PAD_LO_H + 0.5)
         keys = jnp.pad(keys, (0, pad))
 
-    gpad = jnp.pad(grid, ((0, 0), (PAD_LO_H, hp - h - PAD_LO_H),
-                          (PAD_LO_W, wp - w - PAD_LO_W)))
-    gpad_t = gpad.reshape(c * hp, wp)
+    content = _content_ok(h, w)
+    if content:
+        gsrc = grid.reshape(c * h, w)
+    else:
+        gpad = jnp.pad(grid, ((0, 0), (PAD_LO_H, hp - h - PAD_LO_H),
+                              (PAD_LO_W, wp - w - PAD_LO_W)))
+        gsrc = gpad.reshape(c * hp, wp)
 
     blocked = pl.BlockSpec((BLOCK,), lambda b: (b,),
                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_kernel, tiles_x=tiles_x, n_chan=c, hp=hp),
+        functools.partial(_kernel, tiles_x=tiles_x, n_chan=c, hp=hp,
+                          content_hw=((h, w) if content else None)),
         grid=(m_pad // BLOCK,),
         in_specs=[blocked, blocked, blocked,
                   pl.BlockSpec(memory_space=pl.ANY)],
@@ -238,5 +326,122 @@ def bilinear_gather_keyed(grid, xs, ys, keys, interpret=None):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(keys, xs, ys, gpad_t)
+    )(keys, xs, ys, gsrc)
+    return out[:, :m]
+
+
+@functools.partial(jax.jit, static_argnames=("inv_p", "interpret"))
+def bilinear_gather_keyed_q15(grid, p1_packed, keys, inv_sl, *, inv_p,
+                              interpret=None):
+    """Carried-force fast path: keyed gather of the 2-channel decayed flow
+    straight from the fused draw's packed streams. Takes the draw's packed
+    fixed-point `p1` (`i32[M]`, subpixel scale `1/inv_p`) and tile `keys`
+    in segment-sorted order, unpacks + CLAMP_TO_EDGEs the coords in-kernel,
+    and returns the gathered force q15-packed over `±1/inv_sl` as
+    `i32[M]` — exactly the one value operand `engine.force_from_aux` rides
+    through the row-order un-sort (no XLA unpack/clip/pack passes, no
+    f32[2, M] round trip)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    c, h, w = grid.shape
+    assert c == 2
+    hp, wp = _pad_dims(h, w)
+    tiles_x = wp // TILE_W
+
+    m = p1_packed.shape[0]
+    m_pad = (m + BLOCK - 1) // BLOCK * BLOCK
+    pad = m_pad - m
+    if pad:
+        p1_packed = jnp.pad(p1_packed, (0, pad))
+        keys = jnp.pad(keys, (0, pad))
+
+    content = _content_ok(h, w)
+    if content:
+        gsrc = grid.reshape(c * h, w)
+    else:
+        gpad = jnp.pad(grid, ((0, 0), (PAD_LO_H, hp - h - PAD_LO_H),
+                              (PAD_LO_W, wp - w - PAD_LO_W)))
+        gsrc = gpad.reshape(c * hp, wp)
+
+    fp1 = (inv_p, PAD_LO_W + 0.5, PAD_LO_W + w - 0.5,
+           PAD_LO_H + 0.5, PAD_LO_H + h - 0.5)
+    blocked = pl.BlockSpec((BLOCK,), lambda b: (b,),
+                           memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_kernel, tiles_x=tiles_x, n_chan=c, hp=hp,
+                          content_hw=((h, w) if content else None),
+                          from_p1=fp1, pack=True),
+        grid=(m_pad // BLOCK,),
+        in_specs=[blocked, blocked,
+                  pl.BlockSpec((1, 1), lambda b: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, BLOCK), lambda b: (0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, m_pad), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((c, BLOCK), jnp.float32),
+            pltpu.VMEM((c * REGION_H, REGION_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((c,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(keys, p1_packed, jnp.reshape(inv_sl, (1, 1)), gsrc)
+    return out[0, :m]
+
+
+@functools.partial(jax.jit, static_argnames=("inv_p", "interpret"))
+def bilinear_gather_keyed_p1(grid, p1_packed, keys, *, inv_p,
+                             interpret=None):
+    """Resident-stream carried force: keyed gather straight from the
+    draw's packed fixed-point `p1` stream (unpack + CLAMP_TO_EDGE
+    in-kernel, like `bilinear_gather_keyed_q15`) returning the EXACT
+    `f32[C, M]` values in input (sorted) order — the sorted order IS the
+    new row order, so no quantisation and no un-sort."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    c, h, w = grid.shape
+    hp, wp = _pad_dims(h, w)
+    tiles_x = wp // TILE_W
+
+    m = p1_packed.shape[0]
+    m_pad = (m + BLOCK - 1) // BLOCK * BLOCK
+    pad = m_pad - m
+    if pad:
+        p1_packed = jnp.pad(p1_packed, (0, pad))
+        keys = jnp.pad(keys, (0, pad))
+
+    content = _content_ok(h, w)
+    if content:
+        gsrc = grid.reshape(c * h, w)
+    else:
+        gpad = jnp.pad(grid, ((0, 0), (PAD_LO_H, hp - h - PAD_LO_H),
+                              (PAD_LO_W, wp - w - PAD_LO_W)))
+        gsrc = gpad.reshape(c * hp, wp)
+
+    fp1 = (inv_p, PAD_LO_W + 0.5, PAD_LO_W + w - 0.5,
+           PAD_LO_H + 0.5, PAD_LO_H + h - 0.5)
+    blocked = pl.BlockSpec((BLOCK,), lambda b: (b,),
+                           memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_kernel, tiles_x=tiles_x, n_chan=c, hp=hp,
+                          content_hw=((h, w) if content else None),
+                          from_p1=fp1),
+        grid=(m_pad // BLOCK,),
+        in_specs=[blocked, blocked,
+                  pl.BlockSpec((1, 1), lambda b: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((c, BLOCK), lambda b: (0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, m_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((c * REGION_H, REGION_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((c,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(keys, p1_packed, jnp.zeros((1, 1), jnp.float32), gsrc)
     return out[:, :m]

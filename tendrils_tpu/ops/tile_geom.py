@@ -12,6 +12,7 @@ exactly this key so freshly-resorted blocks bin like fully-sorted samples in
 BOTH kernels.
 """
 
+HALF = 32767  # 15-bit field max of the packed fixed-point streams
 TILE_H = 16
 TILE_W = 256
 REGION_H = 32
