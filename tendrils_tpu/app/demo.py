@@ -172,13 +172,18 @@ class TendrilsDemo:
 
         self.base = "dark"
 
-        # Quality tiers — ref `demo.main.js:978-1009`.
+        # Quality tiers — ref `demo.main.js:978-1009`. Tiers are ×1/×2/×4
+        # of the CONSTRUCTED engine's root (== the reference's default-state
+        # rootNum unless the caller overrode `root_num`; honoring the
+        # override keeps small test/embedding instances small through
+        # `quality_change`'s re-setup).
         d = self.default_state
+        base_root = self.tendrils.config.root_num
         self.quality = {
             "options": [
-                {"rootNum": d["rootNum"], "damping": d["damping"]},
-                {"rootNum": d["rootNum"] * 2, "damping": d["damping"] - 1e-3},
-                {"rootNum": d["rootNum"] * 4, "damping": d["damping"] - 2e-3},
+                {"rootNum": base_root, "damping": d["damping"]},
+                {"rootNum": base_root * 2, "damping": d["damping"] - 1e-3},
+                {"rootNum": base_root * 4, "damping": d["damping"] - 2e-3},
             ],
             "level": int(s.get("quality", 0)),
         }
