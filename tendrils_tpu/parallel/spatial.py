@@ -14,13 +14,16 @@ data-parallel but shards the GRIDS by row slabs:
   - the next step's flow read `all_gather`s only the 2 pre-decayed
     effective-velocity channels (not the 4-channel payload).
 
-ICI bytes per device per frame at 4K (2160x3840, D=8), accumulation
-channels 6 (flow) + 6 (view):
-  replicate+psum:   2·(7/8)·12·HW·4 ≈ 696 MB
-  slab mode:          (7/8)·12·HW·4 + (7/8)·2·HW·4 ≈ 406 MB  (~0.58x)
-plus grids held per device drop to 1/8 and the blend resolve runs on 1/8 of
-the pixels. The reference has no multi-device analogue (SURVEY §2.9) — this
-is the TPU-native design for high-resolution scaling.
+ICI bytes per device per frame, MEASURED from the compiled HLO's actual
+collectives (`scripts/ici_bytes.py`, ring model, 8-device mesh, 1080p —
+both ratios are resolution-independent since every collective is
+grid-proportional):
+  replicate+psum: one 12-channel all-reduce  = 166.1 MB moved/device
+  slab mode: 12ch reduce-scatter + 2ch all-gather = 96.9 MB  (**0.583x**)
+At 4K the same ratio holds over 4x the bytes; grids held per device drop
+to 1/8 and the blend resolve runs on 1/8 of the pixels. The reference has
+no multi-device analogue (SURVEY §2.9) — this is the TPU-native design
+for high-resolution scaling.
 """
 
 from __future__ import annotations
