@@ -78,11 +78,10 @@ class EngineConfig:
     # single-device pallas path with one flow LOD; invalidated by spawns and
     # external flow edits (the next frame gathers in-step).
     carry_force: bool = True
-    # Run the logic step INSIDE the pack kernel (frame_fused). Measured
-    # SLOWER than the separate XLA step chain on v5e (the in-kernel simplex
-    # noise lowers worse under Mosaic than under XLA fusion: 19.5 vs
-    # 17.4 ms/step at 1M/1080p) — kept for future tuning, off by default.
-    fused_step: bool = False
+    # (An in-kernel logic step inside the pack kernel was built and
+    # measured SLOWER on v5e — in-kernel simplex lowers worse under Mosaic
+    # than under XLA fusion, 19.5 vs 17.4 ms/step at 1M/1080p — and was
+    # deleted in round 3; see BENCHMARKS.md.)
     # Resident stream: the exact f32 particle state rides the fused draw's
     # segment sort, so the SORTED order becomes the next frame's row order.
     # The force un-sort (a whole second lax.sort crossing, ~4.7 ms at 1M)
@@ -145,7 +144,7 @@ def resident_enabled(cfg: EngineConfig) -> bool:
     """Whether the hot frame runs in resident-stream mode (state rides the
     draw sort; see `EngineConfig.resident_stream`)."""
     return (carry_enabled(cfg) and cfg.resident_stream
-            and cfg.resident_sort == 0 and not cfg.fused_step)
+            and cfg.resident_sort == 0)
 
 
 def fast_resolve_ok(cfg: EngineConfig, src=None) -> bool:
@@ -238,36 +237,6 @@ def initial_force(sim: state_mod.SimState, params, cfg: EngineConfig,
     u1 = (pos[1] * view_size[1]) * 0.5 + 0.5
     return bilinear_gather(eff, u0 * w, u1 * h,
                            clustered=cfg.resident_sort > 0)
-
-
-def frame_fused(sim: state_mod.SimState, params, time, dt,
-                cfg: EngineConfig, view_size):
-    """STEP + DRAW as one fused pipeline (requires a carried force): the
-    logic step runs inside the pack kernel (`draw_pallas._step_pack_kernel`)
-    so the frame is pack(step+colours) → segment sort → splat → resolve.
-    Returns (sim', aux) — the caller computes the next carried force from
-    `aux` after any flow injections."""
-    from .ops import sample
-    from .ops.draw_pallas import fused_step_draw
-
-    _, _, colormap_uv = state_mod.particle_coords_from_idx(sim.idx,
-                                                           cfg.root_num)
-    mapped = sample.sample_uv(sim.color_map, colormap_uv.T) \
-        * params["colorMapAlpha"]
-    h, w = cfg.view_res
-    view0 = sim.view[0]
-    view0 = view0 * (1.0 - params["autoClearView"])
-    view0 = render.fade_fill(view0, params["fadeColor"] * params["autoFade"])
-
-    new_particles, new_flow, view0, aux = fused_step_draw(
-        sim.flow, view0, sim.particles, sim.targets, sim.force, sim.idx,
-        mapped, params, time, dt, view_size, grid_hw=(h, w),
-        root_num=cfg.root_num, samples=cfg.view_samples,
-        presort=(cfg.resident_sort == 0))
-    sim = dataclasses.replace(
-        sim, particles=new_particles, previous=sim.particles,
-        flow=new_flow, view=sim.view.at[0].set(view0), force=None)
-    return sim, aux
 
 
 def resort_sim(sim: state_mod.SimState, cfg: EngineConfig, view_size,
@@ -1014,18 +983,14 @@ def _frame_jit(sim, params, time, dt, cfg, view_size, resort=False,
         return draw_sim(sim, params, time, cfg, view_size, stepped=True,
                         fast_resolve=fast_resolve)
     resident = resident_enabled(cfg)
-    if sim.force is not None and cfg.fused_step:
-        sim, aux = frame_fused(sim, params, time, dt, cfg, view_size)
-        eff = None
-    else:
-        sim = step_sim(sim, params, time, dt, cfg, view_size)
-        out = draw_sim(sim, params, time, cfg, view_size,
-                       want_aux=True, resident=resident,
-                       targets_live=targets_live, stepped=True,
-                       fast_resolve=fast_resolve, read_time=time + dt,
-                       want_eff=fast_resolve and not resident)
-        sim, aux = out[:2]
-        eff = out[2] if len(out) > 2 else None
+    sim = step_sim(sim, params, time, dt, cfg, view_size)
+    out = draw_sim(sim, params, time, cfg, view_size,
+                   want_aux=True, resident=resident,
+                   targets_live=targets_live, stepped=True,
+                   fast_resolve=fast_resolve, read_time=time + dt,
+                   want_eff=fast_resolve and not resident)
+    sim, aux = out[:2]
+    eff = out[2] if len(out) > 2 else None
     force = force_from_aux(sim.flow, aux, params, time + dt, cfg,
                            unsort=not resident, eff=eff)
     return dataclasses.replace(sim, force=force)
@@ -1082,8 +1047,6 @@ def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
     want_eff = fast_resolve and seg is None and of is None
     if not stepping:
         sim = draw_sim(sim, params, time, cfg, view_size)
-    elif carry and sim.force is not None and cfg.fused_step:
-        sim, aux = frame_fused(sim, params, time, dt, cfg, view_size)
     elif carry:
         sim = step_sim(sim, params, time, dt, cfg, view_size)
         out = draw_sim(sim, params, time, cfg, view_size,
@@ -1157,11 +1120,7 @@ def run_headless(sim, params, cfg: EngineConfig, view_size, t0, dt, steps,
 
     def body(sim, i):
         time = t0 + dt * (i + 1)
-        if carry and cfg.fused_step:
-            sim, aux = frame_fused(sim, params, time, dt, cfg, view_size)
-            force = force_from_aux(sim.flow, aux, params, time + dt, cfg)
-            sim = dataclasses.replace(sim, force=force)
-        elif carry:
+        if carry:
             sim = step_sim(sim, params, time, dt, cfg, view_size)
             out = draw_sim(sim, params, time, cfg, view_size,
                            want_aux=True, resident=resident,

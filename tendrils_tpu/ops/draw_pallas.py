@@ -1206,213 +1206,6 @@ def reconstruct_resident(npx, npy, vl, speed_limit, tx=None, ty=None,
     )(*args)
 
 
-def _step_pack_kernel(scal_ref, px_ref, py_ref, vx_ref, vy_ref, tx_ref,
-                      ty_ref, fx_ref, fy_ref, idx_ref, mr_ref, mg_ref,
-                      mb_ref, ma_ref, *refs, tiles_x, pscale, h, w,
-                      gather, root, seg_block):
-    """FUSED logic step + segment pack: one VPU pass runs the particle
-    update (`src/logic.frag:45-101` — noise wander + carried flow force +
-    target seek, damping, speed clamp, Euler, inert mask) and immediately
-    packs the resulting prev→new segment for the draw, so the step never
-    round-trips through HBM as a separate XLA chain.
-
-    Inputs: old state (px, py, vx, vy), targets (xy), the CARRIED flow
-    force at the old positions, `idx` = ORIGINAL particle ids (per-particle
-    variance/uv derive from them), colour-map values. Outputs: the 5(+1-2)
-    pack streams plus the new state rows (npx, npy, nvx, nvy). The
-    flow-gather stream packs ROW ids (block offset + lane), not `idx` — the
-    force un-sort must realign to row order.
-
-    scal f32[1, 32]: [0..14] as _pack_kernel; [16] dt, [17] damping,
-    [18] forceWeight, [19] varyForce, [20] flowWeight, [21] varyFlow,
-    [22] noiseWeight, [23] varyNoise, [24] noiseScale, [25] varyNoiseScale,
-    [26] noiseSpeed, [27] varyNoiseSpeed, [28] target, [29] varyTarget,
-    [30] viewSize.x, [31] viewSize.y."""
-    npx_ref, npy_ref, nvx_ref, nvy_ref = refs[-4:]
-    refs = refs[:-4]
-    keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref = refs[:5]
-    grefs = refs[5:]
-
-    px = px_ref[:]
-    py = py_ref[:]
-    vx = vx_ref[:]
-    vy = vy_ref[:]
-    time = scal_ref[0, 1]
-    dt = scal_ref[0, 16]
-    speed_limit = scal_ref[0, 0]
-    vsx = scal_ref[0, 30]
-    vsy = scal_ref[0, 31]
-
-    alive = (px != INERT) | (py != INERT)
-
-    # Per-particle constants from ORIGINAL ids (state.particle_coords_from_idx).
-    idxf = idx_ref[:].astype(jnp.float32)
-    ix = jnp.mod(idxf, root)
-    iy = jnp.floor(idxf / root)
-    uv0 = (ix + 0.5) / root
-    uv1 = (iy + 0.5) / root
-    index01 = ((ix + 0.5) + (iy + 0.5) * root) / (root * root)
-
-    def vary(base, variance):
-        return base + (index01 * variance * base)
-
-    # Wander force (ops/logic.py::wander_force).
-    noise_scale = vary(scal_ref[0, 24], scal_ref[0, 25])
-    noise_speed = vary(scal_ref[0, 26], scal_ref[0, 27])
-    ntime = time * noise_speed
-    wander_x = snoise3_xyz(px * noise_scale, py * noise_scale, uv0 + ntime)
-    wander_y = snoise3_xyz(px * noise_scale, py * noise_scale,
-                           uv1 + ntime + 1234.5678)
-
-    force_w = vary(scal_ref[0, 18], scal_ref[0, 19])
-    flow_w = vary(scal_ref[0, 20], scal_ref[0, 21])
-    noise_w = vary(scal_ref[0, 22], scal_ref[0, 23])
-
-    nvx = (vx * scal_ref[0, 17] * dt
-           + force_w * (fx_ref[:] * dt * flow_w + wander_x * dt * noise_w))
-    nvy = (vy * scal_ref[0, 17] * dt
-           + force_w * (fy_ref[:] * dt * flow_w + wander_y * dt * noise_w))
-
-    target_w = vary(scal_ref[0, 28], scal_ref[0, 29])
-    nvx = nvx + (tx_ref[:] - px) * target_w
-    nvy = nvy + (ty_ref[:] - py) * target_w
-
-    speed = jnp.sqrt(nvx * nvx + nvy * nvy)
-    vscale = jnp.minimum(speed, speed_limit) / jnp.maximum(speed, 1e-12)
-    nvx = nvx * vscale
-    nvy = nvy * vscale
-    npx = px + nvx
-    npy = py + nvy
-
-    npx = jnp.where(alive, npx, px)
-    npy = jnp.where(alive, npy, py)
-    nvx = jnp.where(alive, nvx, vx)
-    nvy = jnp.where(alive, nvy, vy)
-    npx_ref[:] = npx
-    npy_ref[:] = npy
-    nvx_ref[:] = nvx
-    nvy_ref[:] = nvy
-
-    # Segment geometry (coords.clip_to_pixel of pos * view_size).
-    p0x_pix = (px * vsx * 0.5 + 0.5) * w
-    p0y_pix = (py * vsy * 0.5 + 0.5) * h
-    p1x_pix = (npx * vsx * 0.5 + 0.5) * w
-    p1y_pix = (npy * vsy * 0.5 + 0.5) * h
-    live = alive.astype(jnp.float32)
-
-    # Flow-gather stream ids = ROW numbers (block offset + lane).
-    row_ids = (pl.program_id(0) * seg_block
-               + jax.lax.broadcasted_iota(jnp.int32, (seg_block, 1),
-                                          0).reshape(seg_block))
-
-    _pack_core(scal_ref, p0x_pix, p0y_pix, p1x_pix, p1y_pix, nvx, nvy,
-               npx, npy, mr_ref[:], mg_ref[:], mb_ref[:], ma_ref[:],
-               live, row_ids,
-               keym_ref, p0_ref, p1_ref, vl_ref, rgba_ref, grefs,
-               tiles_x=tiles_x, pscale=pscale, h=h, w=w, gather=gather)
-
-
-@functools.partial(jax.jit, static_argnames=("grid_hw", "samples",
-                                             "interpret", "presort",
-                                             "root_num"))
-def fused_step_draw_accumulate(grid_hw, particles, targets, force, idx,
-                               mapped, params, time, dt, view_size, *,
-                               root_num, samples=2, interpret=None,
-                               presort=True):
-    """Fused STEP + draw accumulate: runs the particle logic step inside
-    the pack kernel (carried-force fast path — `force` must hold the flow
-    force at the current positions), then the shared bin+splat pipeline.
-
-    Returns (new_particles f32[4, N], flow_parts, view_parts, aux)."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    h, w = grid_hw
-    hp, wp = _pad_dims(h, w)
-    tiles_x = wp // TILE_W
-    pscale = _pos_scale(hp, wp)
-
-    n = particles.shape[1]
-    seg_block = BLOCK // samples
-    if n >= PACK_SEG and PACK_SEG % seg_block == 0:
-        seg_block = PACK_SEG
-    n_pad = (n + seg_block - 1) // seg_block * seg_block
-    if n_pad != n:
-        pad = n_pad - n
-        particles = jnp.concatenate([
-            jnp.pad(particles[:2], ((0, 0), (0, pad)),
-                    constant_values=INERT),
-            jnp.pad(particles[2:], ((0, 0), (0, pad)))], axis=0)
-        targets = jnp.pad(targets, ((0, 0), (0, pad)))
-        force = jnp.pad(force, ((0, 0), (0, pad)))
-        mapped = jnp.pad(mapped, ((0, 0), (0, pad)))
-        idx = jnp.concatenate([idx,
-                               jnp.arange(n, n_pad, dtype=jnp.int32)])
-
-    num_tiles = (hp // TILE_H) * tiles_x
-    gather = 1 if (n_pad <= (1 << 20) and num_tiles <= (1 << 11)) else 2
-
-    scal = jnp.concatenate([
-        jnp.stack([params["speedLimit"], jnp.float32(time),
-                   params["flowWidth"], params["lineWidth"],
-                   params["speedAlpha"],
-                   jnp.sin(time * params["flowDecay"]),
-                   params["flowDecay"]]),
-        jnp.asarray(params["baseColor"], jnp.float32),
-        jnp.asarray(params["flowColor"], jnp.float32),
-        jnp.zeros(1, jnp.float32),
-        jnp.stack([jnp.float32(dt), params["damping"],
-                   params["forceWeight"], params["varyForce"],
-                   params["flowWeight"], params["varyFlow"],
-                   params["noiseWeight"], params["varyNoise"],
-                   params["noiseScale"], params["varyNoiseScale"],
-                   params["noiseSpeed"], params["varyNoiseSpeed"],
-                   params["target"], params["varyTarget"]]),
-        jnp.asarray(view_size, jnp.float32)])[None]  # [1, 32]
-    i32 = jnp.int32
-
-    segspec = pl.BlockSpec((seg_block,), lambda b: (b,),
-                           memory_space=pltpu.VMEM)
-    smem_scal = pl.BlockSpec((1, 32), lambda b: (0, 0),
-                             memory_space=pltpu.SMEM)
-    n_out = 5 + (2 if gather == 2 else 0) + 4
-    outs = pl.pallas_call(
-        functools.partial(_step_pack_kernel, tiles_x=tiles_x,
-                          pscale=pscale, h=h, w=w, gather=gather,
-                          root=root_num, seg_block=seg_block),
-        grid=(n_pad // seg_block,),
-        in_specs=([smem_scal] + [segspec] * 13),
-        out_specs=[segspec] * n_out,
-        out_shape=([jax.ShapeDtypeStruct((n_pad,), i32)] * (n_out - 4)
-                   + [jax.ShapeDtypeStruct((n_pad,), jnp.float32)] * 4),
-        interpret=interpret,
-    )(scal, particles[0], particles[1], particles[2], particles[3],
-      targets[0], targets[1], force[0], force[1], idx,
-      mapped[0], mapped[1], mapped[2], mapped[3])
-    new_particles = jnp.stack(outs[-4:])[:, :n]
-    flow_parts, view_parts, aux, _ = _bin_and_splat(
-        scal, outs[:-4], gather, jnp.float32(time), presort=presort,
-        tiles_x=tiles_x, pscale=pscale, samples=samples, h=h, w=w, hp=hp,
-        wp=wp, n_pad=n_pad, interpret=interpret)
-    return new_particles, flow_parts, view_parts, aux
-
-
-def fused_step_draw(flow, view, particles, targets, force, idx, mapped,
-                    params, time, dt, view_size, *, grid_hw, root_num,
-                    samples=2, interpret=None, presort=True):
-    """Full fused frame body: logic step + both draw passes + resolve, with
-    the flow-gather aux stream for the NEXT frame's carried force. Returns
-    (new_particles, new_flow, new_view, aux)."""
-    new_particles, flow_parts, view_parts, aux = fused_step_draw_accumulate(
-        grid_hw, particles, targets, force, idx, mapped, params, time, dt,
-        view_size, root_num=root_num, samples=samples, interpret=interpret,
-        presort=presort)
-    new_flow = composite_over(
-        flow, *_widen_excess(flow_parts, params["flowWidth"]))
-    new_view = composite_over(
-        view, *_widen_excess(view_parts, params["lineWidth"]))
-    return new_particles, new_flow, new_view, aux
-
-
 def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
                params, time, *, grid_hw, samples=2, interpret=None,
                presort=True, idx=None, ride=None, psum=None,
