@@ -1182,7 +1182,17 @@ def reconstruct_resident(npx, npy, vl, speed_limit, tx=None, ty=None,
         interpret = jax.default_backend() != "tpu"
     m = npx.shape[0]
     # Draw streams are padded to the splat's segment-block multiple
-    # (BLOCK // samples) — pick the largest lane-aligned divisor.
+    # (BLOCK // samples), which for odd sample counts need not have any
+    # power-of-2 divisor — pad to a lane multiple first (the caller slices
+    # `[:n]`, and n <= m, so pad rows are simply dropped), then pick the
+    # largest lane-aligned block.
+    m128 = -(-m // 128) * 128
+    if m128 != m:
+        pad = m128 - m
+        npx, npy, vl = (jnp.pad(v, (0, pad)) for v in (npx, npy, vl))
+        if tx is not None:
+            tx, ty = jnp.pad(tx, (0, pad)), jnp.pad(ty, (0, pad))
+        m = m128
     blk = next(b for b in (4096, 2048, 1024, 512, 256, 128) if m % b == 0)
     targets = tx is not None
     blocked = pl.BlockSpec((blk,), lambda b: (b,),
