@@ -12,11 +12,22 @@ exactly this key so freshly-resorted blocks bin like fully-sorted samples in
 BOTH kernels.
 """
 
+import os
+
 HALF = 32767  # 15-bit field max of the packed fixed-point streams
 TILE_H = 16
 TILE_W = 256
-REGION_H = 32
-REGION_W = 384
+# Region (RMW/DMA window) dims. Env-overridable for geometry experiments
+# on real hardware (e.g. TT_REGION_W=512 at 4K trades +33% bytes per
+# region visit for fewer stray visits on long segments) — read once at
+# import so every kernel/padding helper stays consistent. Semantics are
+# unchanged under an override (deposit masses agree to ~0.1%); per-texel
+# placement quantisation shifts with the padded width, so the strict
+# cross-path CI tolerances are tuned for (and run at) the defaults.
+REGION_H = int(os.environ.get("TT_REGION_H", 32))
+REGION_W = int(os.environ.get("TT_REGION_W", 384))
+assert REGION_H % 8 == 0 and REGION_H >= 2 * TILE_H, REGION_H
+assert REGION_W % 128 == 0 and REGION_W >= TILE_W + 128, REGION_W
 PAD_LO_H, PAD_LO_W = TILE_H, TILE_W
 PAD_HI_H, PAD_HI_W = REGION_H, REGION_W
 

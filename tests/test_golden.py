@@ -4,6 +4,10 @@ regressions (force math, splat weights, preset values) are caught.
 
 Golden values were produced by this implementation (the reference publishes
 no numeric outputs to cite); they pin *our* semantics against drift.
+Reference-anchored coverage lives elsewhere: `test_reference_oracle.py`
+pins the GLSL primitives to the reference's algorithms, and
+`test_preset_corridors.py` pins 60-frame preset-replay statistics with
+multi-seed tolerance bands (no re-pin needed on recompilation).
 """
 
 import hashlib
