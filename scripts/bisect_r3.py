@@ -20,10 +20,13 @@ def main():
     kw = {}
     if os.environ.get("TT_RESIDENT", "") == "1":
         kw["resident_stream"] = True
-    eng = bench._engine(1024, (1080, 1920), True, **kw)
+    root = int(os.environ.get("TT_ROOT", 1024))
+    h, w = (int(v) for v in
+            os.environ.get("TT_RES", "1080x1920").split("x"))
+    eng = bench._engine(root, (h, w), True, **kw)
     params = eng.params()
     dt = jnp.float32(1000.0 / 60.0)
-    steps = 30
+    steps = int(os.environ.get("TT_STEPS", 30))
     for i in range(3):
         if eng.sim.force is not None:
             eng.sim = dataclasses.replace(eng.sim, force=None)
