@@ -1,9 +1,16 @@
 """Hash randoms.
 
-The reference uses `glsl-random` — the classic fractional-sine hash
-`fract(sin(dot(co, vec2(12.9898, 78.233))) * 43758.5453)` — for its GPU spawn
-shaders (`src/spawn/ball/index.frag:6-14`) and pixel-spawn UV jitter
-(`src/spawn/pixels/frag/head.frag:28-37`).
+The reference uses `glsl-random` for its GPU spawn shaders
+(`src/spawn/ball/index.frag:6-14`) and pixel-spawn UV jitter
+(`src/spawn/pixels/frag/head.frag:28-37`). The npm package it requires —
+verified against the shader text glslify inlined into the reference's own
+shipped bundle (`docs/js/demo-run.js`) — reduces the dot product with
+`mod(dt, 3.14)` BEFORE the sine (a numerical-stability guard the package
+added over the classic shadertoy one-liner):
+
+    dt = dot(co, vec2(12.9898, 78.233));
+    sn = mod(dt, 3.14);
+    return fract(sin(sn) * 43758.5453);
 
 We keep the same hash (`glsl_random`) for behavioural parity of the spawn
 distributions, and additionally expose counter-based `threefry` helpers via
@@ -18,9 +25,14 @@ import jax.numpy as jnp
 
 
 def glsl_random(co):
-    """`glsl-random` hash: `co: f32[..., 2] -> f32[...]` in [0, 1)."""
+    """`glsl-random` hash: `co: f32[..., 2] -> f32[...]` in [0, 1).
+
+    Includes the package's `mod(dt, 3.14)` argument reduction (see module
+    docstring) — omitting it yields a *different* random stream than the
+    reference's spawn shaders."""
     co = jnp.asarray(co, jnp.float32)
     d = co[..., 0] * 12.9898 + co[..., 1] * 78.233
+    d = jnp.mod(d, 3.14)
     s = jnp.sin(d) * 43758.5453
     return s - jnp.floor(s)
 

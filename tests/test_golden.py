@@ -43,9 +43,9 @@ class TestGolden:
         # NOTE: pinned values depend on the fractional-sine spawn hash,
         # whose f32 sin() rounding shifts under fusion changes — re-pin when
         # the spawn path's compilation structure changes intentionally.
-        assert abs(p[0].mean() - (-0.008850)) < 1e-3
-        assert abs(p[0].std() - 0.216444) < 2e-3
-        assert abs(p[1].std() - 0.213852) < 2e-3
+        assert abs(p[0].mean() - (-0.011517)) < 1e-3
+        assert abs(p[0].std() - 0.218106) < 2e-3
+        assert abs(p[1].std() - 0.209863) < 2e-3
         speed = np.sqrt(p[2] ** 2 + p[3] ** 2)
         assert 0.001 < speed.mean() < 0.0025
         # Flow field got deposits and the trail rendered.

@@ -40,9 +40,10 @@ class TestRandom:
         co = jax.random.uniform(jax.random.PRNGKey(1), (1000, 2)) * 100
         v = np.asarray(glsl_random(co))
         assert np.all((v >= 0) & (v < 1))
-        # Matches the classic formula.
+        # Matches the packaged formula (incl. its mod(dt, 3.14) reduction).
         d = np.asarray(co[:, 0]) * 12.9898 + np.asarray(co[:, 1]) * 78.233
-        exp = np.sin(d.astype(np.float32)) * np.float32(43758.5453)
+        d = np.mod(d.astype(np.float32), np.float32(3.14))
+        exp = np.sin(d) * np.float32(43758.5453)
         exp = exp - np.floor(exp)
         np.testing.assert_allclose(v, exp, atol=2e-2)
 

@@ -1,9 +1,11 @@
 """Reference-anchored numeric oracles for the GLSL-derived primitives.
 
 The reference's randomness comes from two published GLSL algorithms:
-  - `glsl-random` 0.0.5 (`fract(sin(dot(co, vec2(12.9898, 78.233))) *
-    43758.5453)`), used by the ball spawner (`src/spawn/ball/index.frag:6-14`)
-    and pixel-spawn UV jitter;
+  - `glsl-random` (`sn = mod(dot(co, vec2(12.9898, 78.233)), 3.14);
+    fract(sin(sn) * 43758.5453)` — the package's argument reduction is
+    verified against the shader text inlined in the reference's shipped
+    bundle, `docs/js/demo-run.js`), used by the ball spawner
+    (`src/spawn/ball/index.frag:6-14`) and pixel-spawn UV jitter;
   - `glsl-noise` simplex 3D (the public-domain Ashima Arts / Stefan
     Gustavson `webgl-noise` algorithm), required from `src/logic.frag:36`.
 
@@ -16,13 +18,14 @@ legitimate if the transcription below (i.e. the GLSL algorithm itself) agrees.
 
 fp32 tolerance notes (documented, per VERDICT r1 item 8):
   - GLSL highp float IS fp32, so fp32 evaluation is the reference semantics.
-    At frag-coordinate magnitudes the hash's `sin(d) * 43758.5453` carries
-    only ~8 fractional bits (ulp(43758) = 1/256), so *any* faithful fp32
-    implementation quantises to 1/256 steps; different correctly-rounded sin
-    implementations (numpy vs XLA vs a GPU) differ by <= a step or two →
-    hash tolerance 0.01.  GPU sin for |d| >> 2pi is implementation-defined,
-    so the reference itself is not bit-stable across GPUs — 0.01 is tighter
-    than cross-GPU variation.
+    The package's `mod(dt, 3.14)` keeps the sine argument small, but at
+    frag-coordinate magnitudes (dt up to ~1e5) the fp32 mod itself
+    quantises: ulp(dt) ≈ 0.008 relative to the 3.14 modulus, and
+    `sin(sn) * 43758.5453` still carries only ~8 fractional bits
+    (ulp(43758) = 1/256). Any faithful fp32 implementation therefore
+    quantises to ~1/256 steps; numpy vs XLA vs a GPU differ by a step or
+    two → hash tolerance 0.01 (the reference itself is not bit-stable
+    across GPUs).
   - Simplex noise is polynomial (no transcendentals): fp32 implementations
     agree to ~1e-7 except exactly on simplex cell boundaries where a floor()
     can flip (the pin points avoid boundaries) → tolerance 1e-5.
@@ -44,8 +47,11 @@ F = np.float32
 
 
 def _glsl_random32(x, y):
-    """glsl-random 0.0.5, strictly fp32."""
+    """glsl-random (npm package, incl. its `mod(dt, 3.14)` argument
+    reduction — transcribed from the bundle-inlined shader text), strictly
+    fp32."""
     d = F(x) * F(12.9898) + F(y) * F(78.233)
+    d = np.mod(d, F(3.14))
     s = np.sin(d, dtype=F) * F(43758.5453)
     return s - np.floor(s)
 
@@ -137,8 +143,8 @@ HASH_CO = np.array(
     [[0.5, 0.5], [1.5, 0.5], [0.5, 1.5], [3.5, 2.5],
      [10.5, 7.5], [0.25, 0.75], [2.125, 4.375], [5.0, 5.0]], F)
 HASH_VALS = np.array(
-    [0.18359375, 0.39453125, 0.6484375, 0.47265625,
-     0.27734375, 0.8671875, 0.423828125, 0.6875], np.float64)
+    [0.4765625, 0.36328125, 0.59765625, 0.9941406,
+     0.7734375, 0.44140625, 0.5253906, 0.140625], np.float64)
 
 # Ball spawner randoms (src/spawn/ball/index.frag:8-14): the four hash draws
 # at three data-texture frag coords (texel centres).
@@ -146,10 +152,10 @@ BALL_FRAG = np.array([[0.5, 0.5], [1.5, 2.5], [10.5, 3.5]], F)
 BALL_SCALE_OFF = [(1.7654, 2.3675), (1.23494, 0.36434),
                   (0.327789, 3.498787), (9.0374, 0.2773)]
 BALL_VALS = np.array(
-    [[0.125, 0.34375, 0.5625],
-     [0.30859375, 0.912109375, 0.05078125],
-     [0.46875, 0.35595703125, 0.375],
-     [0.69921875, 0.666015625, 0.3798828125]], np.float64)
+    [[0.2421875, 0.5546875, 0.265625],
+     [0.08203125, 0.59375, 0.6875],
+     [0.94921875, 0.3203125, 0.67578125],
+     [0.5703125, 0.2084961, 0.0625]], np.float64)
 
 
 # --- tests -------------------------------------------------------------------
@@ -197,10 +203,11 @@ def test_ball_spawn_randoms_match_reference():
     """End-to-end: ops/spawn.ball reconstructs the reference's four hash
     draws and the angle/radius composition.
 
-    Only the small frag coords are compared: the third pin point's sine
-    argument reaches |d| ≈ 3700 where numpy's and XLA's fp32 argument
-    reduction legitimately diverge by a few 1/256 fract steps (as do real
-    GPUs') — the hash *values* at that point are still covered by
+    Only the small frag coords are compared: the third pin point's dot
+    product reaches |dt| ≈ 3700 where numpy's and XLA's fp32 `mod(dt, 3.14)`
+    legitimately diverge by an ulp of dt (≈ 1/4096 of the modulus, amplified
+    through the sine's 1/256 fract granularity; real GPUs differ too) — the
+    hash *values* at that point are still covered by
     test_transcription_matches_pins."""
     from tendrils_tpu.ops.spawn import ball
     radius, speed = 0.6, 0.01
@@ -225,6 +232,7 @@ def test_hash_constants_anchor_fp64():
                    [0.0041, 0.0007]], F)
     d = co[:, 0].astype(np.float64) * 12.9898 \
         + co[:, 1].astype(np.float64) * 78.233
+    d = np.mod(d, 3.14)
     s = np.sin(d) * 43758.5453
     want = s - np.floor(s)
     got = np.asarray(glsl_random(co))
