@@ -5,17 +5,23 @@ TPU re-derivations of the reference's screen-space passes (SURVEY §2.6):
   - Blend (`src/screen/blend/index.js` + `blend/main.frag`): N-texture
     weighted premultiplied sum. Pure elementwise — XLA fuses it.
   - Blur (`src/screen/blur.frag`): vignette-masked hash blur, strongest at
-    the edges. The reference jitters 20 sample directions per pixel with a
-    hash; per-pixel random gathers are pathological on TPU, so this build
-    computes a blur *stack* at static radii (O(1) cumsum box blurs) and
-    lerps per pixel by the same vignette-driven blur strength. Same visual
-    role (edge-only blur shaped by a bezier vignette), vectorised; the hash
-    grain is not reproduced (documented deviation).
+    the edges. The reference averages 20 hash-jittered taps on a uniform
+    disc per pixel; per-pixel random gathers are pathological on TPU, so
+    this build computes a blur *stack* at static radii (O(1) cumsum box
+    blurs) and lerps per pixel between levels. The per-pixel level is NOT
+    ad hoc: `_level_lut` solves, offline per static radii tuple, the
+    least-squares match between each lerped stack kernel and the exact
+    expected disc kernel of the reference's tap pattern (transcribed in
+    `tests/post_oracles.py` from the shipped bundle) — measured ≤ ~6% rel
+    RMS from the exact shader on trail-like frames
+    (`tests/test_post_oracle.py`). The hash grain is approximated by
+    jittering the level (documented deviation).
   - Bokeh (`src/screen/bokeh.frag` + `libs/bokeh/index.glsl`): brightness-
     weighted disc blur (weights `pow(col², 9)·amount + 0.4` after the
     contrast boost `col·col·1.5`). The weighting is linear in the blur, so
     it is computed exactly as blur(col·w)/blur(w) over the same static
-    stack, per-pixel-scaled by the vignette power.
+    stack; the disc (20 deterministic golden-angle taps out to
+    ≈5.4·radius px) is kernel-matched by the same LUT machinery.
 
 All radii in the stack are static config; the *strength* params stay traced.
 """
@@ -24,6 +30,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import coords
 from .filters import bezier, vignette
@@ -106,13 +113,122 @@ def _stack_lerp(stack, level):
     return out
 
 
+# --- kernel-matched level calibration (static, per radii tuple) --------------
+
+
+def _stack_kernels_1d(radii):
+    """1D separable kernel of each stack level (level 0 = identity)."""
+    ks = [np.array([1.0])]
+    cur = np.array([1.0])
+    prev = 0
+    for r in radii:
+        rr = max(1, (r - prev) // 2 + 1)
+        box = np.full(2 * rr + 1, 1.0 / (2 * rr + 1))
+        cur = np.convolve(np.convolve(cur, box), box)
+        ks.append(cur)
+        prev = r
+    return ks
+
+
+def _centered(k1d, size):
+    out = np.zeros(size)
+    c = size // 2
+    h = len(k1d) // 2
+    out[c - h:c + h + 1] = k1d
+    return out
+
+
+def _splat_taps(x, y, w, size):
+    """Bilinear-splat tap offsets (px) into a size×size kernel."""
+    c = size // 2
+    K = np.zeros((size, size))
+    xi = np.floor(x).astype(int)
+    yi = np.floor(y).astype(int)
+    fx, fy = x - xi, y - yi
+    for dx, wx in ((0, 1 - fx), (1, fx)):
+        for dy, wy in ((0, 1 - fy), (1, fy)):
+            np.add.at(K, (np.clip(c + yi + dy, 0, size - 1),
+                          np.clip(c + xi + dx, 0, size - 1)), w * wx * wy)
+    return K / w.sum()
+
+
+def _disc_taps(strength):
+    """Expected tap density of the reference hash blur: 20 samples uniform
+    on a disc of radius `strength` px (`sqrt(u)·(sin, cos)(v·τ)` — the
+    bundle-inlined `glsl-hash-blur` `mult()`), Monte-Carlo with a fixed
+    seed (the expectation over the per-pixel hash streams)."""
+    rng = np.random.RandomState(0)
+    n = 20000
+    rad = np.sqrt(rng.rand(n) + 0.001) * strength
+    th = rng.rand(n) * 2.0 * np.pi
+    return rad * np.sin(th), rad * np.cos(th), np.full(n, 1.0)
+
+
+_GOLDEN = 2.39996323
+
+
+def _bokeh_taps(strength):
+    """The 20 deterministic golden-angle taps of `libs/bokeh/index.glsl`
+    at disc parameter `strength` px (offset `(r-1)·R(golden)^j·(0, s)`)."""
+    xs, ys = [], []
+    r = 1.0
+    ang = np.array([0.0, strength])
+    rot = np.array([[np.cos(_GOLDEN), np.sin(_GOLDEN)],
+                    [-np.sin(_GOLDEN), np.cos(_GOLDEN)]])
+    for _ in range(20):
+        r += 1.0 / r
+        ang = rot @ ang
+        xs.append((r - 1.0) * ang[0])
+        ys.append((r - 1.0) * ang[1])
+    return np.asarray(xs), np.asarray(ys), np.full(20, 1.0)
+
+
+@functools.lru_cache(maxsize=None)
+def _level_lut(radii, kind):
+    """Offline least-squares match: for a grid of per-pixel strengths,
+    the fractional stack level whose lerped kernel best matches the exact
+    tap kernel (`kind`: "disc" hash blur | "bokeh" golden-angle disc).
+    Returns (strengths, levels) as float32 tuples for `jnp.interp`."""
+    taps_of = _disc_taps if kind == "disc" else _bokeh_taps
+    extent = 1.0 if kind == "disc" else 5.5  # max tap offset per strength
+    k1d = _stack_kernels_1d(radii)
+    top = max(len(k) for k in k1d) // 2
+    smax = radii[-1] * (2.5 if kind == "disc" else 1.0)
+    size = 2 * int(np.ceil(max(top, smax * extent))) + 3
+    K2 = [np.outer(_centered(k, size), _centered(k, size)) for k in k1d]
+    grid = np.linspace(0.0, smax, 17)
+    levels = [0.0]
+    for s in grid[1:]:
+        x, y, w = taps_of(s)
+        D = _splat_taps(x, y, w, size)
+        best = (np.inf, 0.0)
+        for i in range(len(K2) - 1):
+            d = K2[i + 1] - K2[i]
+            t = float(np.clip(((D - K2[i]) * d).sum()
+                              / max((d * d).sum(), 1e-12), 0.0, 1.0))
+            e = float(((K2[i] + t * d - D) ** 2).sum())
+            if e < best[0]:
+                best = (e, i + t)
+        levels.append(best[1])
+    # enforce monotonicity (ties between adjacent segments can wobble)
+    levels = np.maximum.accumulate(np.asarray(levels))
+    return (tuple(np.float32(v) for v in grid),
+            tuple(np.float32(v) for v in levels))
+
+
+def _matched_level(strength, radii, kind):
+    s, l = _level_lut(tuple(radii), kind)
+    return jnp.interp(strength, jnp.asarray(s), jnp.asarray(l))
+
+
 @functools.partial(jax.jit, static_argnames=("radii", "grain"))
-def vignette_blur(view, radius, limit, radii=(2, 6, 16), grain=0.75):
+def vignette_blur(view, radius, limit, radii=(1, 3, 8), grain=0.75):
     """Edge blur — ref `src/screen/blur.frag:24-32`.
 
-    Per-pixel blur strength = `radius * (1 - vignette(uv, mid, limit,
-    falloff)) * texel`; mapped onto the static blur stack. `radius`/`limit`
-    stay traced.
+    Per-pixel disc radius = `radius * (1 - vignette(uv, mid, limit,
+    falloff))` px (the shader's `radius*amount` with `texel` folded out);
+    mapped onto the static blur stack through the kernel-matched LUT.
+    `radius`/`limit` stay traced.
 
     The reference's `glsl-hash-blur` jitters its 20 tap directions with a
     per-pixel sine hash, leaving a characteristic NOISE GRAIN in the
@@ -125,9 +241,8 @@ def vignette_blur(view, radius, limit, radii=(2, 6, 16), grain=0.75):
     uv = coords.uv_grid((h, w))
     amount = 1.0 - vignette(uv, jnp.full((2,), MID), limit,
                             jnp.asarray(BLUR_FALLOFF, jnp.float32))
-    strength = radius * amount  # in pixels of blur radius
-    max_r = radii[-1]
-    level = strength / max_r * (len(radii))
+    strength = radius * amount  # in pixels of disc radius
+    level = _matched_level(strength, radii, "disc")
     if grain:
         from .rand import glsl_random
         jitter = glsl_random(uv * jnp.asarray([w, h], jnp.float32)) - 0.5
@@ -144,8 +259,9 @@ def bokeh(view, radius, amount, radii=(2, 6, 16)):
     `libs/bokeh/index.glsl`.
 
     Exact weighting (blur of col·w over blur of w with the reference's
-    highlight weights), disc kernel approximated by the blur stack, scaled
-    per pixel by the vignette power.
+    highlight weights), disc kernel (20 golden-angle taps out to
+    ≈5.4·radius px) kernel-matched onto the blur stack, scaled per pixel
+    by the vignette power.
     """
     _, h, w = view.shape
     uv = coords.uv_grid((h, w))
@@ -155,14 +271,13 @@ def bokeh(view, radius, amount, radii=(2, 6, 16)):
     col = view[:3]
     # Contrast boost for highlights — libs/bokeh/index.glsl:34.
     col2 = col * col * 1.5
-    # libs/bokeh/index.glsl:27: amount += radius*500 (radius in UV-texel
-    # units there; ours is pixels, texel = 1/min(H, W)).
-    texel = 1.0 / min(h, w)
-    amt = amount * power + (radius * power * texel) * 500.0
+    # libs/bokeh/index.glsl:27: `amount += radius*500` — the shader's
+    # radius uniform is in px (its offsets are `texel·(r-1)·angle` UV).
+    amt = amount * power + (radius * power) * 500.0
     wgt = jnp.power(col2, 9.0) * amt[None] + 0.4
 
     num = blur_stack(jnp.concatenate([col2 * wgt, wgt]), radii)
-    level = (radius * power) / radii[-1] * len(radii)
+    level = _matched_level(radius * power, radii, "bokeh")
     blurred = _stack_lerp(num, level)
     out = blurred[:3] / jnp.maximum(blurred[3:], 1e-6)
     return jnp.concatenate([out, view[3:4]])

@@ -62,7 +62,12 @@ class TestBlur:
         centre_delta = np.abs(grainy[:3, 30:34, 30:34]
                               - smooth[:3, 30:34, 30:34]).mean()
         assert corner_delta > 1e-4
-        assert centre_delta < corner_delta * 0.1
+        # The kernel-matched level LUT (ops/post._level_lut) gives sub-pixel
+        # strengths a small but nonzero level (bilinear taps at 0.5 px DO
+        # blur in the exact shader too), so the near-centre block carries a
+        # little grain — it must still be well below the blurred corners.
+        # Fidelity vs the exact shader is pinned in test_post_oracle.py.
+        assert centre_delta < corner_delta * 0.5
 
     def test_bokeh_runs_and_preserves_alpha(self):
         rng = np.random.default_rng(1)
