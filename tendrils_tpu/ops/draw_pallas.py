@@ -184,7 +184,6 @@ def _kernel(scal_ref, keym_ref, *rest, tiles_x, pscale, samples, h, w,
         p0y = (p0 >> 15).astype(jnp.float32) * inv_p
     dx = p1x - p0x
     dy = p1y - p0y
-    length = jnp.sqrt(dx * dx + dy * dy)
 
     # Segment key tile (the sort key, reproduced bit-exactly) + region
     # extents for the per-sample fits test.
@@ -196,7 +195,11 @@ def _kernel(scal_ref, keym_ref, *rest, tiles_x, pscale, samples, h, w,
     reg_y_hi = (seg_row * TILE_H).astype(jnp.float32) + REGION_H
     reg_x_hi = (seg_col * TILE_W).astype(jnp.float32) + REGION_W
 
-    ascale_seg = live * jnp.maximum(length, 1.0) / samples
+    # GL's DDA lights one fragment per MAJOR-AXIS pixel, so deposit mass
+    # scales with the major extent (matches ops/splat.segment_samples;
+    # measured vs the GL-pen oracle in tests/test_splat_oracle.py).
+    ascale_seg = live * jnp.maximum(jnp.maximum(jnp.abs(dx), jnp.abs(dy)),
+                                    1.0) / samples
     if scalar_color:
         # 1x1 colour map: the whole render colour model
         # (`src/render/index.vert:57-94`) runs HERE at f32 (no rgba8
@@ -663,7 +666,7 @@ def _pack_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
                emit_rgba=emit_rgba, key_recon=not emit_p0)
 
 
-def _bin_and_splat(scal, outs, gather, time, *, presort, tiles_x, pscale,
+def _bin_and_splat(scal, outs, gather, time, *, tiles_x, pscale,
                    samples, h, w, hp, wp, n_pad, interpret, ride=None,
                    derive_p0=False, scalar_color=False, raw_accum=False):
     """Shared pipeline tail: segment sort (with the optional gather
@@ -690,30 +693,28 @@ def _bin_and_splat(scal, outs, gather, time, *, presort, tiles_x, pscale,
     # Bin SEGMENTS by tile (5 packed int32 operands at half the sample
     # count, + the gather stream when carried); the expand pass then emits
     # per-sample operands that are already exactly-sorted runs (samples
-    # inherit their segment's key). Resident-sorted particles
-    # (presort=False) skip even this.
-    if presort:
-        seg_ops = [x for x in (keym, p0u, p1u, vlu, rgbau)
-                   if x is not None]
-        # f32 value operands cost ~2.6x an int32 operand in lax.sort on
-        # TPU (measured) — ride them as bitcast int32 and restore after.
-        ride_dtypes = [r.dtype for r in ride]
-        ride = [jax.lax.bitcast_convert_type(r, jnp.int32)
-                if r.dtype == jnp.float32 else r for r in ride]
-        sorted_ops = jax.lax.sort(seg_ops + gouts + ride, num_keys=1)
-        rem = list(sorted_ops[:n_seg_ops])
-        keym = rem.pop(0)
-        if p0u is not None:
-            p0u = rem.pop(0)
-        p1u = rem.pop(0)
-        vlu = rem.pop(0)
-        if rgbau is not None:
-            rgbau = rem.pop(0)
-        gouts = list(sorted_ops[n_seg_ops:n_seg_ops + len(gouts)])
-        ride = [jax.lax.bitcast_convert_type(r, dt)
-                if dt == jnp.float32 else r
-                for r, dt in zip(sorted_ops[n_seg_ops + len(gouts):],
-                                 ride_dtypes)]
+    # inherit their segment's key).
+    seg_ops = [x for x in (keym, p0u, p1u, vlu, rgbau)
+               if x is not None]
+    # f32 value operands cost ~2.6x an int32 operand in lax.sort on
+    # TPU (measured) — ride them as bitcast int32 and restore after.
+    ride_dtypes = [r.dtype for r in ride]
+    ride = [jax.lax.bitcast_convert_type(r, jnp.int32)
+            if r.dtype == jnp.float32 else r for r in ride]
+    sorted_ops = jax.lax.sort(seg_ops + gouts + ride, num_keys=1)
+    rem = list(sorted_ops[:n_seg_ops])
+    keym = rem.pop(0)
+    if p0u is not None:
+        p0u = rem.pop(0)
+    p1u = rem.pop(0)
+    vlu = rem.pop(0)
+    if rgbau is not None:
+        rgbau = rem.pop(0)
+    gouts = list(sorted_ops[n_seg_ops:n_seg_ops + len(gouts)])
+    ride = [jax.lax.bitcast_convert_type(r, dt)
+            if dt == jnp.float32 else r
+            for r, dt in zip(sorted_ops[n_seg_ops + len(gouts):],
+                             ride_dtypes)]
 
     if gather == 1:
         # The combined key IS (keym << 20 | row id); the flow-gather key is
@@ -798,12 +799,12 @@ def pos_scale_for(grid_hw):
 
 
 @functools.partial(jax.jit, static_argnames=("grid_hw", "samples",
-                                             "interpret", "presort",
+                                             "interpret",
                                              "derive_p0", "raw_accum"))
 def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
                           live, speed_limit, time, *, idx=None, ride=None,
                           samples=2,
-                          interpret=None, presort=True, flow_width=1.0,
+                          interpret=None, flow_width=1.0,
                           line_width=1.0, speed_alpha=1.0, sin_decay=0.0,
                           flow_decay=0.0, base_color=None, flow_color=None,
                           derive_p0=False, view_size=None,
@@ -819,10 +820,9 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
     `base_color[4]`/`flow_color[4]`: render colour-model params (colours are
     derived in the pack kernel). Returns (flow_parts, view_parts) each
     `(num [4,H,W], wsum [H,W], logt [H,W])`. `interpret=None` auto-selects
-    interpreter mode off-TPU. With `presort=True` segments are sorted by
-    their bbox's footprint-top tile (5 int32 operands at SEGMENT count —
-    half a sample-level sort) and expanded after; `presort=False` trusts the
-    caller's clustering (resident-sorted particles).
+    interpreter mode off-TPU. Segments are sorted by their bbox's
+    footprint-top tile (5 int32 operands at SEGMENT count — half a
+    sample-level sort) and expanded after.
 
     With `idx` (`i32[N]` particle row ids) the segment sort ALSO carries a
     flow-gather stream for the next step's force, and a third element
@@ -947,7 +947,7 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
         interpret=interpret,
     )(*pack_in)
     flow_parts, view_parts, aux, ride_s = _bin_and_splat(
-        scal, outs, gather, time, presort=presort, tiles_x=tiles_x,
+        scal, outs, gather, time, tiles_x=tiles_x,
         pscale=pscale, samples=samples, h=h, w=w, hp=hp, wp=wp,
         n_pad=n_pad, interpret=interpret, ride=ride, derive_p0=derive_p0,
         scalar_color=scalar_color, raw_accum=raw_accum)
@@ -1218,7 +1218,7 @@ def reconstruct_resident(npx, npy, vl, speed_limit, tx=None, ty=None,
 
 def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
                params, time, *, grid_hw, samples=2, interpret=None,
-               presort=True, idx=None, ride=None, psum=None,
+               idx=None, ride=None, psum=None,
                derive_p0=False, view_size=None, mapped_scalar=None,
                resolve="xla", read_time=None, want_eff=False):
     """Full fused draw: accumulate with in-kernel per-pass line widths
@@ -1246,7 +1246,7 @@ def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
     out = fused_draw_accumulate(
         grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
         params["speedLimit"], time, idx=idx, ride=ride, samples=samples,
-        interpret=interpret, presort=presort, derive_p0=derive_p0,
+        interpret=interpret, derive_p0=derive_p0,
         view_size=view_size, mapped_scalar=mapped_scalar,
         flow_width=params["flowWidth"], line_width=params["lineWidth"],
         speed_alpha=params["speedAlpha"],

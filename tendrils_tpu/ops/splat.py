@@ -52,8 +52,14 @@ def segment_samples(p0_pix, p1_pix, alpha, samples, rows, width):
     # Perpendicular unit vector for line width rows.
     perp = jnp.stack([-d[:, 1], d[:, 0]], axis=-1) * inv_len[:, None]
 
-    # Per-sample alpha so total deposit matches GL's alpha-per-covered-pixel.
-    a_s = alpha * jnp.maximum(length, 1.0) / samples  # [N]
+    # Per-sample alpha so total deposit matches GL's alpha-per-covered-pixel:
+    # GL's DDA lights one fragment per MAJOR-AXIS pixel (GL 2.0 §3.4.2), so
+    # the deposit mass scales with the major extent, not euclidean length —
+    # a diagonal line is ~1/√2 dimmer than an axis-aligned one of the same
+    # length, and the flow feedback inherits that (measured:
+    # tests/test_splat_oracle.py).
+    major = jnp.maximum(jnp.abs(d[:, 0]), jnp.abs(d[:, 1]))
+    a_s = alpha * jnp.maximum(major, 1.0) / samples  # [N]
 
     ts = (jnp.arange(samples, dtype=jnp.float32) + 0.5) / samples  # [samples]
     pts = p0_pix[:, None, :] + d[:, None, :] * ts[None, :, None]  # [N, S, 2]
