@@ -41,7 +41,7 @@ def main():
 
     # Frame split at 1M/1080p (presort path).
     from tendrils_tpu import EngineConfig, Tendrils
-    from tendrils_tpu.engine import draw_sim, resort_sim, step_sim
+    from tendrils_tpu.engine import draw_sim, step_sim
     from tendrils_tpu.ops import spawn
 
     cfg = EngineConfig(root_num=1024, view_res=(1080, 1920),
@@ -56,14 +56,11 @@ def main():
 
     stepf = jax.jit(lambda s: step_sim(s, params, t, dt, cfg, vs))
     drawf = jax.jit(lambda s: draw_sim(s, params, t, cfg, vs))
-    resortf = jax.jit(lambda s: resort_sim(s, cfg, vs))
     print(f"step_sim (gather+logic): {timeit(stepf, eng.sim, reps=10):.2f} ms",
           flush=True)
     sim1 = stepf(eng.sim)
     print(f"draw_sim (pack+sort+splat+blur+resolve): "
           f"{timeit(drawf, sim1, reps=10):.2f} ms", flush=True)
-    print(f"resort_sim (10-op state sort): "
-          f"{timeit(resortf, sim1, reps=10):.2f} ms", flush=True)
 
     # colors alone
     from tendrils_tpu.ops import render

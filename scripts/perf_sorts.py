@@ -1,4 +1,6 @@
-"""Micro-probe: why resort_sim costs 3x a raw sort; draw-phase pieces.
+"""Micro-probe: state-sort costs and draw-phase pieces. (The resident
+resort path this originally profiled was deleted in round 3 — rejected by
+measurement, see BENCHMARKS.md; the raw-sort probes remain useful.)
 
 `timeout 550 python scripts/perf_sorts.py` on TPU.
 """
@@ -27,7 +29,6 @@ def timeit(fn, *args, reps=20, warm=2):
 
 def main():
     from tendrils_tpu import EngineConfig, Tendrils
-    from tendrils_tpu.engine import resort_sim
     from tendrils_tpu.ops import spawn
 
     key = jax.random.PRNGKey(0)
@@ -42,11 +43,7 @@ def main():
     vs = eng._view_size
     sim = eng.sim
 
-    # 1. resort_sim as-is
-    f = jax.jit(lambda s: resort_sim(s, cfg, vs))
-    print(f"resort_sim full: {timeit(f, sim, reps=10):.2f} ms", flush=True)
-
-    # 2. raw 10-op sort with a realistic computed key (ball-clustered)
+    # 1. raw 10-op sort with a realistic computed key (ball-clustered)
     pos = sim.particles
     tg = sim.targets
     idx = sim.idx

@@ -66,12 +66,6 @@ class EngineConfig:
     # single-device, flow_res == view_res). Line widths become post-hoc
     # blurs of the accumulation (see ops/draw_pallas.py).
     fused_draw: bool = True
-    # Keep particles resident in approximately tile-sorted order, resorting
-    # every N frames (0 = off). The Pallas splat/gather kernels only need
-    # spatially *clustered* blocks, not sorted ones — so the per-frame sample
-    # sorts are skipped entirely and the full state reorder is amortised
-    # over N frames. Single-device pallas path only.
-    resident_sort: int = 0
     # Carry the next step's flow force in SimState: the fused draw's segment
     # sort doubles as the flow-gather binning (`draw_pallas` aux stream), so
     # the step pays no gather sort of its own. Active only on the fused
@@ -143,8 +137,7 @@ def carry_enabled(cfg: EngineConfig) -> bool:
 def resident_enabled(cfg: EngineConfig) -> bool:
     """Whether the hot frame runs in resident-stream mode (state rides the
     draw sort; see `EngineConfig.resident_stream`)."""
-    return (carry_enabled(cfg) and cfg.resident_stream
-            and cfg.resident_sort == 0)
+    return carry_enabled(cfg) and cfg.resident_stream
 
 
 def fast_resolve_ok(cfg: EngineConfig, src=None) -> bool:
@@ -235,56 +228,7 @@ def initial_force(sim: state_mod.SimState, params, cfg: EngineConfig,
         0.0, 1.0 - (read_time - sim.flow[2]) * params["flowDecay"])[None]
     u0 = (pos[0] * view_size[0]) * 0.5 + 0.5
     u1 = (pos[1] * view_size[1]) * 0.5 + 0.5
-    return bilinear_gather(eff, u0 * w, u1 * h,
-                           clustered=cfg.resident_sort > 0)
-
-
-def resort_sim(sim: state_mod.SimState, cfg: EngineConfig, view_size,
-               params=None):
-    """Reorder the particle rows by flow-grid tile of their position.
-
-    Keeps blocks of consecutive rows spatially clustered so the Pallas
-    kernels' distinct-tile loops stay short without per-frame sorting.
-
-    Runs at frame START (before the step): `sim.previous` was consumed by
-    the previous frame's draw and is overwritten by the coming step, so it
-    does not ride the sort — only (particles, targets, idx) do, and
-    `previous` is re-paired to the sorted particles (a zero-length segment
-    until the step replaces it). Lossless, deterministic."""
-    from .ops import tile_geom as dp
-    from .ops.draw_pallas import KMAX_WIDTH
-    fh, fw = cfg.flow_shape
-    hp, wp = dp.pad_dims(fh, fw)
-    pos = sim.particles[:2]
-    # Exactly the fused draw kernel's padded tile key — including its
-    # line-width footprint-top shift — so freshly-resorted blocks bin like
-    # fully-sorted samples.
-    hwm = jnp.float32(0.5)
-    if params is not None:
-        hwm = jnp.maximum(jnp.clip(params["flowWidth"], 1.0, KMAX_WIDTH),
-                          jnp.clip(params["lineWidth"], 1.0,
-                                   KMAX_WIDTH)) * 0.5
-    x = jnp.clip((pos[0] * view_size[0] * 0.5 + 0.5) * fw + dp.PAD_LO_W,
-                 1.0, dp.PAD_LO_W + fw + 1.0)
-    y = jnp.clip((pos[1] * view_size[1] * 0.5 + 0.5) * fh + dp.PAD_LO_H,
-                 1.0, dp.PAD_LO_H + fh + 1.0)
-    key = ((jnp.maximum(jnp.floor(y - hwm), 0.0).astype(jnp.int32)
-            // dp.TILE_H) * (wp // dp.TILE_W)
-           + (jnp.maximum(jnp.floor(x - hwm), 0.0).astype(jnp.int32)
-              // dp.TILE_W))
-    force_rows = [] if sim.force is None else [sim.force[0], sim.force[1]]
-    ops = jax.lax.sort(
-        [key] + [sim.particles[i] for i in range(4)]
-        + [sim.targets[i] for i in range(4)] + [sim.idx] + force_rows,
-        num_keys=1)
-    particles = jnp.stack(ops[1:5])
-    return dataclasses.replace(
-        sim,
-        particles=particles,
-        previous=particles,
-        targets=jnp.stack(ops[5:9]),
-        idx=ops[9],
-        force=None if sim.force is None else jnp.stack(ops[10:12]))
+    return bilinear_gather(eff, u0 * w, u1 * h)
 
 
 def step_sim(sim: state_mod.SimState, params, time, dt, cfg: EngineConfig,
@@ -320,7 +264,6 @@ def step_sim(sim: state_mod.SimState, params, time, dt, cfg: EngineConfig,
         eff = sim.flow[:2] * jnp.maximum(
             0.0, 1.0 - (time - sim.flow[2]) * params["flowDecay"])[None]
         eff_pyr = flow_pyramid(eff, cfg.flow_levels)
-        clustered = cfg.resident_sort > 0
 
         def flow_force_fn(pos_screen):
             u = pos_screen * 0.5 + 0.5
@@ -331,7 +274,7 @@ def step_sim(sim: state_mod.SimState, params, time, dt, cfg: EngineConfig,
                 factor = 1.0 / (level + 1.0)
                 force = force + bilinear_gather(
                     grid, u[..., 0] * w, u[..., 1] * h,
-                    clustered=clustered) * factor
+                    ) * factor
                 total = total + factor
             return force / total
 
@@ -467,7 +410,6 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
         out = fused_draw(
             sim.flow, view0, p0, p1, vel, pos, mapped, live, params, time,
             grid_hw=(h, w), samples=cfg.view_samples,
-            presort=(cfg.resident_sort == 0),
             idx=idx_arg, ride=ride,
             derive_p0=derive, view_size=(view_size if derive
                                          else None),
@@ -577,7 +519,6 @@ class Tendrils:
         h, w = cfg.view_res
         self._view_size = jnp.asarray(coords.cover_aspect((w, h)),
                                       jnp.float32)
-        self._frame_idx = 0
         # Whether the targets buffer may hold live data (a target spawn ran
         # since setup). While False, the resident-stream frame skips riding
         # the targets rows through the segment sort entirely.
@@ -615,16 +556,6 @@ class Tendrils:
                 and key != getattr(self, "_force_key", key):
             self.sim = dataclasses.replace(self.sim, force=None)
         self._force_key = key
-
-    def _tick_resort(self):
-        """Whether this frame starts with a resident resort (static jit arg
-        — a `lax.cond` here would copy every sim buffer on the skip branch,
-        so the schedule is decided host-side and baked into two jit
-        variants)."""
-        k = self.config.resident_sort
-        resort = k > 0 and (self._frame_idx % k == 0)
-        self._frame_idx += 1
-        return resort
 
     def setup(self, root_num: int | None = None):
         """(Re)allocate particle + grid state — ref `src/index.js:149-154`."""
@@ -684,7 +615,7 @@ class Tendrils:
             self.sim = _step_jit(self.sim, self.params(),
                                  jnp.float32(self.timer.time),
                                  jnp.float32(self.timer.dt), self.config,
-                                 self._view_size, resort=self._tick_resort())
+                                 self._view_size)
         return self
 
     def draw(self):
@@ -705,7 +636,7 @@ class Tendrils:
         self.sim = _frame_jit(self.sim, self.params(),
                               jnp.float32(self.timer.time),
                               jnp.float32(self.timer.dt), self.config,
-                              self._view_size, resort=self._tick_resort(),
+                              self._view_size,
                               targets_live=self._targets_live,
                               fast_resolve=fast_resolve_ok(self.config,
                                                            self.state))
@@ -720,7 +651,7 @@ class Tendrils:
         self.sim = _frame_jit(self.sim, self.params(),
                               jnp.float32(self.timer.time),
                               jnp.float32(self.timer.dt), self.config,
-                              self._view_size, resort=self._tick_resort(),
+                              self._view_size,
                               targets_live=self._targets_live,
                               fast_resolve=fast_resolve_ok(self.config,
                                                            self.state))
@@ -736,7 +667,6 @@ class Tendrils:
         particles = fn(self.sim.particles)
         self.sim = dataclasses.replace(self.sim, particles=particles,
                                        previous=particles, force=None)
-        self._frame_idx = 0  # respawn scatters rows; resort next frame
         return self
 
     def spawn_shader(self, op, target=None):
@@ -754,7 +684,6 @@ class Tendrils:
             self.sim = dataclasses.replace(self.sim, particles=new,
                                            previous=self.sim.particles,
                                            force=None)
-            self._frame_idx = 0  # respawn scatters rows; resort next frame
         elif target == "targets":
             new = op(self.sim.previous, self)
             self.sim = dataclasses.replace(self.sim, targets=new)
@@ -857,7 +786,6 @@ class Tendrils:
             self.sim, self.params(), jnp.float32(self.timer.time),
             jnp.float32(self.timer.dt), self.config, self._view_size,
             cm, color_alphas, seg, of, blur_t,
-            resort=(False if paused else self._tick_resort()),
             stepping=not paused, targets_live=self._targets_live,
             fast_resolve=fast_resolve_ok(self.config, self.state))
         return screen
@@ -946,11 +874,8 @@ class Tendrils:
 # --- jitted cores -----------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "resort"),
-                   donate_argnums=(0,))
-def _step_jit(sim, params, time, dt, cfg, view_size, resort=False):
-    if resort:
-        sim = resort_sim(sim, cfg, view_size, params)
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def _step_jit(sim, params, time, dt, cfg, view_size):
     return step_sim(sim, params, time, dt, cfg, view_size)
 
 
@@ -965,19 +890,11 @@ def _draw_jit(sim, params, time, dt, cfg, view_size):
     return dataclasses.replace(sim, force=force)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def _resort_jit(sim, cfg, view_size):
-    return resort_sim(sim, cfg, view_size)
-
-
-@functools.partial(jax.jit, static_argnames=("cfg", "resort",
-                                             "targets_live",
+@functools.partial(jax.jit, static_argnames=("cfg", "targets_live",
                                              "fast_resolve"),
                    donate_argnums=(0,))
-def _frame_jit(sim, params, time, dt, cfg, view_size, resort=False,
+def _frame_jit(sim, params, time, dt, cfg, view_size,
                targets_live=True, fast_resolve=False):
-    if resort:
-        sim = resort_sim(sim, cfg, view_size, params)
     if not carry_enabled(cfg):
         sim = step_sim(sim, params, time, dt, cfg, view_size)
         return draw_sim(sim, params, time, cfg, view_size, stepped=True,
@@ -1008,12 +925,12 @@ def _inject_flow(flow, p0_pix, p1_pix, vel, width, params, time, cfg,
         backend=cfg.splat_backend)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "resort", "stepping",
+@functools.partial(jax.jit, static_argnames=("cfg", "stepping",
                                              "targets_live",
                                              "fast_resolve"),
                    donate_argnums=(0,))
 def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
-                  seg, of, blur, resort=False, stepping=True,
+                  seg, of, blur, stepping=True,
                   targets_live=True, fast_resolve=False):
     """One-dispatch interactive frame: [colormap blend] + step + draw +
     [flow-line inject] + [optical flow] + [vignette blur]. Optional stages
@@ -1022,8 +939,6 @@ def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
 
     `stepping=False` (paused timer) skips only the logic step — the draw
     and every io stage still land, like the reference's paused loop."""
-    if resort:
-        sim = resort_sim(sim, cfg, view_size, params)
     carry = carry_enabled(cfg) and stepping
     if not carry and sim.force is not None:
         sim = dataclasses.replace(sim, force=None)
@@ -1099,8 +1014,8 @@ def run_headless(sim, params, cfg: EngineConfig, view_size, t0, dt, steps,
     """Fixed-step headless run under `lax.scan` (SURVEY §7 pillar 2).
 
     Only the leaves a frame actually mutates ride the scan carry —
-    particles / previous / flow / view (+ the carried force, + targets/idx
-    on the resident-resort chunk loop); the rest close over the body. This
+    particles / previous / flow / view (+ the carried force); the rest
+    close over the body. This
     matters beyond hygiene: this machine's device runtime degrades
     pathologically (~200x) when a scan carries more buffers than the sim's
     base eight, so the carry is kept minimal. The carried flow force (if
@@ -1138,28 +1053,5 @@ def run_headless(sim, params, cfg: EngineConfig, view_size, t0, dt, steps,
                            fast_resolve=fast_resolve)
         return sim, ()
 
-    k = cfg.resident_sort
-    if k <= 0:
-        sim, _ = jax.lax.scan(body, sim,
-                              jnp.arange(steps, dtype=jnp.float32))
-        return sim
-
-    # Static resort schedule: a scan of chunks, each = resort + k frames
-    # (a lax.cond would copy every sim buffer on its skip branch).
-    def chunk(sim, c):
-        sim = resort_sim(sim, cfg, view_size, params)
-        sim, _ = jax.lax.scan(
-            lambda s, j: body(s, c * k + j), sim,
-            jnp.arange(k, dtype=jnp.float32))
-        return sim, ()
-
-    chunks, rem = divmod(steps, k)
-    if chunks:
-        sim, _ = jax.lax.scan(chunk, sim,
-                              jnp.arange(chunks, dtype=jnp.float32))
-    if rem:
-        sim = resort_sim(sim, cfg, view_size, params)
-        sim, _ = jax.lax.scan(
-            lambda s, j: body(s, chunks * k + j), sim,
-            jnp.arange(rem, dtype=jnp.float32))
+    sim, _ = jax.lax.scan(body, sim, jnp.arange(steps, dtype=jnp.float32))
     return sim

@@ -202,15 +202,12 @@ def _kernel(key_ref, x_ref, y_ref, grid_ref, out_ref, *rest, tiles_x,
         out_ref[0, :] = q(facc[1]) * (HALF + 1) + q(facc[0])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "clustered"))
-def bilinear_gather(grid, x, y, interpret=None, clustered=False):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bilinear_gather(grid, x, y, interpret=None):
     """Bilinearly sample `grid: f32[C, H, W]` at pixel coords `x`,`y: f32[M]`.
 
     Same contract as `sample.bilinear_sample` (CLAMP_TO_EDGE), returns
     `f32[C, M]`. `interpret=None` auto-selects interpreter mode off-TPU.
-    With `clustered=True` the caller guarantees consecutive samples are
-    already spatially clustered (resident-sorted particles): the sort and
-    the slot-keyed un-sort are skipped and results return in input order.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -244,9 +241,8 @@ def bilinear_gather(grid, x, y, interpret=None, clustered=False):
     key = ((jnp.floor(ys - 0.5).astype(jnp.int32) // TILE_H) * tiles_x
            + (jnp.floor(xs - 0.5).astype(jnp.int32) // TILE_W))
 
-    if not clustered:
-        slot = jax.lax.iota(jnp.int32, m_pad)
-        key, xs, ys, slot = jax.lax.sort([key, xs, ys, slot], num_keys=1)
+    slot = jax.lax.iota(jnp.int32, m_pad)
+    key, xs, ys, slot = jax.lax.sort([key, xs, ys, slot], num_keys=1)
 
     blocked = pl.BlockSpec((BLOCK,), lambda b: (b,),
                            memory_space=pltpu.VMEM)
@@ -268,8 +264,6 @@ def bilinear_gather(grid, x, y, interpret=None, clustered=False):
         interpret=interpret,
     )(key, xs, ys, gsrc)
 
-    if clustered:
-        return out[:, :m]
     # Un-sort back to slot order (sort is far cheaper than TPU scatter).
     _, *vals = jax.lax.sort([slot] + [out[i] for i in range(c)], num_keys=1)
     return jnp.stack(vals)[:, :m]

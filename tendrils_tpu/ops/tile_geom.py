@@ -6,10 +6,6 @@ speedLimit geometry) — expanded blocks then bin as exactly-sorted runs at
 the sorted-minimum region-DMA count. The generic `splat_pallas` backend
 keeps its own smaller 8x128 geometry (better for arbitrary payload channel
 counts at small grids).
-
-The engine's resident resort (`engine.resort_sim`) orders particles by
-exactly this key so freshly-resorted blocks bin like fully-sorted samples in
-BOTH kernels.
 """
 
 import os

@@ -100,13 +100,11 @@ class SimState:
       view:      `f32[B, 4, H, W]` view/trail buffers — `src/index.js:109`
       color_map: `f32[4, ch, cw]` colour map — `src/index.js:94-96`
       key:       threefry key for stochastic ops (spawns)
-      idx:       `i32[N]` original particle index per row. The engine keeps
-                 particles *resident in approximately tile-sorted order*
-                 (resorted every `resident_sort` frames) so the Pallas
-                 splat/gather kernels see spatially clustered blocks without
-                 any per-particle-frame sort; per-particle constants (uv,
-                 variance index, colour-map uv) are recomputed from `idx`.
-                 Identity permutation when resident sorting is off.
+      idx:       `i32[N]` original particle index per row. In resident
+                 -stream frames the particle rows ride the draw's segment
+                 sort (engine.resident_enabled), so per-particle constants
+                 (uv, variance index, colour-map uv) are recomputed from
+                 `idx`. Identity permutation otherwise.
       force:     `f32[2, N]` or None — the flow force for the NEXT step,
                  pre-gathered at the end of the previous frame by reusing
                  the fused draw's segment binning (so the step pays no
