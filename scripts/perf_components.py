@@ -39,7 +39,7 @@ def main():
         ms = timeit(f, k, *vals)
         print(f"sort {ops_n} ops x {m/1e6:.0f}M: {ms:.2f} ms", flush=True)
 
-    # Frame split at 1M/1080p (presort path).
+    # Frame split at 1M/1080p.
     from tendrils_tpu import EngineConfig, Tendrils
     from tendrils_tpu.engine import draw_sim, step_sim
     from tendrils_tpu.ops import spawn
@@ -85,7 +85,7 @@ def main():
     grid = jax.random.normal(key, (2, 1080, 1920))
     x = jax.random.uniform(key, (n,), minval=0.0, maxval=1920.0)
     y = jax.random.uniform(key, (n,), minval=0.0, maxval=1080.0)
-    g1 = jax.jit(lambda g, x, y: bilinear_gather(g, x, y, clustered=False))
+    g1 = jax.jit(lambda g, x, y: bilinear_gather(g, x, y))
     print(f"bilinear_gather 1M random (sort+unsort): "
           f"{timeit(g1, grid, x, y, reps=10):.2f} ms", flush=True)
 

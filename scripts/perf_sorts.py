@@ -78,7 +78,7 @@ def main():
     print(f"sort 5 int32 ops x 1M: {timeit(f5, ki, *vi, reps=10):.2f} ms",
           flush=True)
 
-    # 6. fused_draw_accumulate pieces: with and without presort
+    # 6. fused_draw_accumulate end-to-end (sort + kernel)
     from tendrils_tpu.ops.draw_pallas import fused_draw_accumulate
     p0 = jax.random.uniform(key, (n, 2)) * jnp.asarray([1920.0, 1080.0])
     p1 = p0 + jax.random.normal(key, (n, 2)) * 2.0
@@ -86,26 +86,13 @@ def main():
     colors = jax.random.uniform(key, (4, n))
     live = jnp.ones((n,))
 
-    def acc(presort):
-        def g(p0, p1, vel, colors, live):
-            fp, vp = fused_draw_accumulate(
-                (1080, 1920), p0, p1, vel, colors, live, 0.01, 16.0,
-                samples=2, presort=presort)
-            return fp[0]
-        return jax.jit(g)
-    print(f"fused_accumulate presort=True: "
-          f"{timeit(acc(True), p0, p1, vel, colors, live, reps=10):.2f} ms",
-          flush=True)
-    # sorted-input variant: pre-sort positions by tile so presort=False is
-    # realistic-clustered
-    ky = ((p0[:, 1] // 16).astype(jnp.int32) * 68
-          + (p0[:, 0] // 256).astype(jnp.int32))
-    _, p0xs, p0ys, p1xs, p1ys = jax.lax.sort(
-        [ky, p0[:, 0], p0[:, 1], p1[:, 0], p1[:, 1]], num_keys=1)
-    p0s = jnp.stack([p0xs, p0ys], -1)
-    p1s = jnp.stack([p1xs, p1ys], -1)
-    print(f"fused_accumulate presort=False (pre-clustered): "
-          f"{timeit(acc(False), p0s, p1s, vel, colors, live, reps=10):.2f} ms",
+    def g(p0, p1, vel, colors, live):
+        fp, vp = fused_draw_accumulate(
+            (1080, 1920), p0, p1, vel, colors, live, 0.01, 16.0,
+            samples=2)
+        return fp[0]
+    print(f"fused_accumulate: "
+          f"{timeit(jax.jit(g), p0, p1, vel, colors, live, reps=10):.2f} ms",
           flush=True)
 
 
