@@ -172,8 +172,11 @@ def test_simple(data):
 
 
 def luma(pixel):
-    """`glsl-luma`: rec-709 luma. `pixel: f32[4, N]` -> `f32[N]`."""
-    return (0.2126 * pixel[0] + 0.7152 * pixel[1] + 0.0722 * pixel[2])
+    """`glsl-luma`: Rec-601 luma `dot(rgb, (0.299, 0.587, 0.114))` — the
+    npm package's actual weights, verified against the shader text inlined
+    in the reference's shipped bundle (`docs/js/demo-run.js`; it is NOT the
+    Rec-709 triple). `pixel: f32[4, N]` -> `f32[N]`."""
+    return (0.299 * pixel[0] + 0.587 * pixel[1] + 0.114 * pixel[2])
 
 
 def rgb_to_hsv(r, g, b):

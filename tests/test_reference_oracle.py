@@ -239,6 +239,26 @@ def test_hash_constants_anchor_fp64():
     np.testing.assert_allclose(got, want, atol=0.005)
 
 
+def test_luma_triples_match_shipped_shaders():
+    """TWO different luma conventions ship in the reference and must not be
+    conflated: the npm `glsl-luma` (pixel-spawn brightest scoring) is
+    Rec-601 `(0.299, 0.587, 0.114)`; the local `src/utils/gray-scale.glsl`
+    (optical flow) is `(0.3, 0.59, 0.11)` — both verified against the
+    bundle-inlined shader text."""
+    from tendrils_tpu.ops.optical_flow import gray_scale
+    from tendrils_tpu.ops.spawn import luma
+    px = np.array([[1.0], [0.0], [0.0], [1.0]], F)
+    img = np.ones((4, 1, 1), F) * px[:, :, None]
+    np.testing.assert_allclose(float(luma(px)[0]), 0.299, atol=1e-6)
+    np.testing.assert_allclose(float(np.asarray(gray_scale(img))[0, 0]),
+                               0.3, atol=1e-6)
+    px_g = np.array([[0.0], [1.0], [0.0], [1.0]], F)
+    img_g = np.ones((4, 1, 1), F) * px_g[:, :, None]
+    np.testing.assert_allclose(float(luma(px_g)[0]), 0.587, atol=1e-6)
+    np.testing.assert_allclose(float(np.asarray(gray_scale(img_g))[0, 0]),
+                               0.59, atol=1e-6)
+
+
 def test_hash_uniformity_at_frag_scale():
     """Statistical sanity at real frag-coordinate scale (512² data texture):
     mean/var of a uniform [0,1) stream."""
