@@ -12,7 +12,7 @@ import json
 
 import numpy as np
 
-PRESETS = ("Flow", "Starlings", "Kelp Forest")
+PRESETS = ("Flow", "Starlings", "Kelp Forest", "Rave", "Pissarides")
 CHECKPOINTS = (10, 30, 60)
 SEEDS = (0, 1, 2)
 
