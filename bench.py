@@ -19,6 +19,7 @@ timing uses host readbacks.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -27,6 +28,22 @@ import jax.numpy as jnp
 
 
 BASELINE_PSTEPS = 1024 * 1024 * 60  # reference tier-1 @ 60 steps/s
+
+# Fused-resolve gate: TT_FR=0 disables, TT_FR=1 forces, default auto
+# (`fast_resolve_ok`). Flipped off at runtime if the fast path fails to
+# compile/run on this device, so a device-specific lowering regression
+# degrades the bench instead of zeroing it (the driver records nothing on
+# a crash).
+_FR_MODE = os.environ.get("TT_FR", "auto")
+
+
+def _fr(eng):
+    if _FR_MODE == "0":
+        return False
+    if _FR_MODE == "1":
+        return True
+    from tendrils_tpu.engine import fast_resolve_ok
+    return fast_resolve_ok(eng.config, eng.state)
 
 
 def _engine(root, view, on_tpu, **kw):
@@ -72,11 +89,26 @@ def _scan_once(eng, steps, params=None, t0=0.0):
     # being caught). run_headless re-seeds the force internally.
     if eng.sim.force is not None:
         eng.sim = dataclasses.replace(eng.sim, force=None)
-    from tendrils_tpu.engine import fast_resolve_ok
-    eng.sim = _run_scan(eng.sim, params, eng.config, eng._view_size,
-                        jnp.float32(t0), dt, steps,
-                        fast_resolve=fast_resolve_ok(eng.config, eng.state))
-    float(eng.sim.particles[0, 0])  # force (block_until_ready lies on axon)
+    global _FR_MODE
+    try:
+        eng.sim = _run_scan(eng.sim, params, eng.config, eng._view_size,
+                            jnp.float32(t0), dt, steps, fast_resolve=_fr(eng))
+        float(eng.sim.particles[0, 0])  # force (block_until_ready lies: axon)
+    except Exception:
+        if _FR_MODE == "0" or not _fr(eng):
+            raise
+        # Fused-resolve path failed on this device — fall back to the
+        # XLA resolve rather than record nothing.
+        import traceback
+        traceback.print_exc()
+        print("# fast_resolve failed; falling back to TT_FR=0",
+              file=sys.stderr)
+        _FR_MODE = "0"
+        if eng.sim.force is not None:
+            eng.sim = dataclasses.replace(eng.sim, force=None)
+        eng.sim = _run_scan(eng.sim, params, eng.config, eng._view_size,
+                            jnp.float32(t0), dt, steps, fast_resolve=False)
+        float(eng.sim.particles[0, 0])
 
 
 def _scan_steps(eng, steps, params=None):
