@@ -81,11 +81,12 @@ class EngineConfig:
     # The force un-sort (a whole second lax.sort crossing, ~4.7 ms at 1M)
     # and its q15 quantisation disappear — the gather's output order IS row
     # order. Row identity lives in `sim.idx` as before. Hot fused frame
-    # path only (step immediately before draw). Default OFF: measured
-    # SLOWER than the classic carried force on v5e (19.6 vs 17.7 ms/step at
-    # 1M/1080p — the state-reconstruction tail's extra launches outweigh the
-    # saved un-sort; see BENCHMARKS.md round-3 ledger).
-    resident_stream: bool = False
+    # path only (step immediately before draw). Default ON: with the
+    # stray-key fix (`_pack_core(key_recon=True)`), the p1/q15 in-kernel
+    # keyed gathers and the fused `reconstruct_resident` tail it measures
+    # 14.6-14.9 vs 17.2-17.6 ms/step at 1M/1080p on v5e (an earlier cut
+    # without those measured 19.6 — see BENCHMARKS.md round-3 ledger).
+    resident_stream: bool = True
 
     @property
     def n(self) -> int:
