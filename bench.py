@@ -133,7 +133,10 @@ def _line(config, n, sec_per_step, extra=""):
 
 def bench_default(on_tpu):
     root = 1024 if on_tpu else 64
-    steps = 30 if on_tpu else 3
+    # Long-enough scan that the ~24 ms tunnel dispatch (a remote-link
+    # artifact, not device work) amortises to <0.3 ms/step: the metric is
+    # steady-state device throughput, like the reference's rAF loop.
+    steps = 90 if on_tpu else 3
     eng = _engine(root, (1080, 1920), on_tpu)
     sec = _scan_steps(eng, steps)
     if on_tpu and sec > 0.035:
@@ -152,12 +155,16 @@ def bench_default(on_tpu):
 
 
 def bench_all(on_tpu):
-    s = 20 if on_tpu else 2
+    # Scan lengths chosen so the ~24 ms tunnel dispatch amortises to
+    # <0.3 ms/step (steady-state device throughput; config 3 keeps its
+    # respawn-every-10-steps cadence — the host round-trip is part of
+    # that config's semantics).
+    s = 60 if on_tpu else 2
 
     # 1: default demo preset scale, 256^2, noise-only.
     eng = _engine(256 if on_tpu else 32, (720, 1280), on_tpu)
     eng.state["flowWeight"] = 0.0
-    sec = _scan_steps(eng, s * 2 if on_tpu else s)
+    sec = _scan_steps(eng, s * 3 if on_tpu else s)
     _line("1:256sq-noise-only", eng.config.n, sec, "256² noise-only, 720p")
 
     # 2: 1M flow feedback + trail, 1080p.

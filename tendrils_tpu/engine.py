@@ -205,7 +205,9 @@ def force_from_aux(flow, aux, params, read_time, cfg: EngineConfig,
         # un-sort's packed operand comes out, nothing else touches HBM.
         packed = bilinear_gather_keyed_q15(eff, p1_s, gkey_s, 1.0 / sl,
                                            inv_p=inv_p)
-        _, pk = jax.lax.sort([gidx_s, packed], num_keys=1)
+        # Row ids are unique — no stability needed (a stable sort would
+        # add a hidden iota tiebreaker operand).
+        _, pk = jax.lax.sort([gidx_s, packed], num_keys=1, is_stable=False)
 
         def unq(q):
             return (q.astype(jnp.float32) * (2.0 / HALF) - 1.0) * sl
@@ -382,7 +384,7 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
 
         # The Pallas resolve applies autoClear + fade IN-KERNEL; the XLA
         # tail pre-applies them here.
-        presolve = fast_resolve and axis_name is None and not resident
+        presolve = fast_resolve and axis_name is None
         view0 = sim.view[0]
         if not presolve:
             view0 = view0 * (1.0 - params["autoClearView"])
@@ -447,6 +449,8 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
                 sim, particles=particles, previous=prev, targets=targets,
                 idx=aux[0][:n], flow=new_flow,
                 view=sim.view.at[0].set(view0))
+            if want_eff:
+                return new_sim, aux, eff
             return new_sim, aux
         new_sim = dataclasses.replace(sim, flow=new_flow,
                                       view=sim.view.at[0].set(view0))
@@ -906,7 +910,7 @@ def _frame_jit(sim, params, time, dt, cfg, view_size,
                    want_aux=True, resident=resident,
                    targets_live=targets_live, stepped=True,
                    fast_resolve=fast_resolve, read_time=time + dt,
-                   want_eff=fast_resolve and not resident)
+                   want_eff=fast_resolve)
     sim, aux = out[:2]
     eff = out[2] if len(out) > 2 else None
     force = force_from_aux(sim.flow, aux, params, time + dt, cfg,
@@ -969,7 +973,7 @@ def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
                        want_aux=True, resident=resident,
                        targets_live=targets_live, stepped=True,
                        fast_resolve=fast_resolve, read_time=time + dt,
-                       want_eff=want_eff and not resident)
+                       want_eff=want_eff)
         sim, aux = out[:2]
         eff = out[2] if len(out) > 2 else None
     else:
@@ -1042,7 +1046,7 @@ def run_headless(sim, params, cfg: EngineConfig, view_size, t0, dt, steps,
                            want_aux=True, resident=resident,
                            targets_live=targets_live, stepped=True,
                            fast_resolve=fast_resolve, read_time=time + dt,
-                           want_eff=fast_resolve and not resident)
+                           want_eff=fast_resolve)
             sim, aux = out[:2]
             eff = out[2] if len(out) > 2 else None
             force = force_from_aux(sim.flow, aux, params, time + dt, cfg,

@@ -603,23 +603,10 @@ def _pack_core(scal_ref, p0x, p0y, p1x, p1y, vx, vy, posx, posy,
     else:
         keym_ref[:] = keym
         if gather == 2:
-            # Big-N/grid fallback: explicit gather-key + id operands.
-            xcl = jnp.clip(x1q.astype(jnp.float32) * inv_p,
-                           PAD_LO_W + 0.5, PAD_LO_W + w - 0.5)
-            ycl = jnp.clip(y1q.astype(jnp.float32) * inv_p,
-                           PAD_LO_H + 0.5, PAD_LO_H + h - 0.5)
-            r0g = jnp.floor(ycl - 0.5).astype(jnp.int32)
-            c0g = jnp.floor(xcl - 0.5).astype(jnp.int32)
-            # Both bilinear corners must lie INSIDE the key tile's region —
-            # including the low edge: an edge-clamped p1 can land one
-            # row/col before the region start when PAD_LO+extent is a tile
-            # multiple (ADVICE r2), silently dropping that corner's weight.
-            fits = ((r0g >= krow * TILE_H) & (c0g >= kcol * TILE_W)
-                    & (r0g + 1 < krow * TILE_H + REGION_H)
-                    & (c0g + 1 < kcol * TILE_W + REGION_W))
-            own = (r0g // TILE_H) * tiles_x + (c0g // TILE_W)
-            grefs[0][:] = jnp.where(fits, keym, own)
-            grefs[1][:] = idx
+            # Big-N/grid fallback: the id rides as ONE extra operand; the
+            # gather key is re-derived post-sort from the sorted keym + p1
+            # (`_bin_and_splat`), saving a whole 16M-row sort operand.
+            grefs[0][:] = idx
 
 
 def _pack_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
@@ -668,7 +655,8 @@ def _pack_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
 
 def _bin_and_splat(scal, outs, gather, time, *, tiles_x, pscale,
                    samples, h, w, hp, wp, n_pad, interpret, ride=None,
-                   derive_p0=False, scalar_color=False, raw_accum=False):
+                   derive_p0=False, scalar_color=False, raw_accum=False,
+                   stable=True):
     """Shared pipeline tail: segment sort (with the optional gather
     stream), segment-direct splat kernel, payload reassembly. Returns
     (flow_parts, view_parts, aux, ride_sorted).
@@ -701,7 +689,14 @@ def _bin_and_splat(scal, outs, gather, time, *, tiles_x, pscale,
     ride_dtypes = [r.dtype for r in ride]
     ride = [jax.lax.bitcast_convert_type(r, jnp.int32)
             if r.dtype == jnp.float32 else r for r in ride]
-    sorted_ops = jax.lax.sort(seg_ops + gouts + ride, num_keys=1)
+    # A stable XLA sort appends a hidden iota tiebreaker operand — a whole
+    # extra N-row stream through the bitonic network (~0.45 ms/M). The
+    # caller requests stability ONLY when pad rows exist whose corner-tile
+    # key could tie a real row (pads must sort strictly last); everywhere
+    # else ties are additive deposits / id-tracked rows, where any
+    # deterministic order is equally valid.
+    sorted_ops = jax.lax.sort(seg_ops + gouts + ride, num_keys=1,
+                              is_stable=stable)
     rem = list(sorted_ops[:n_seg_ops])
     keym = rem.pop(0)
     if p0u is not None:
@@ -716,12 +711,17 @@ def _bin_and_splat(scal, outs, gather, time, *, tiles_x, pscale,
             for r, dt in zip(sorted_ops[n_seg_ops + len(gouts):],
                              ride_dtypes)]
 
-    if gather == 1:
-        # The combined key IS (keym << 20 | row id); the flow-gather key is
-        # keym except for the rare non-fitting strays, re-derived here from
-        # the sorted p1 (mirrors _pack_core's gather==2 branch).
-        gidx_s = keym & ((1 << 20) - 1)
-        keym_plain = keym >> 20
+    if gather:
+        # The flow-gather key is keym except for the rare non-fitting
+        # strays, re-derived here from the sorted p1 (the pack's former
+        # fits test, moved post-sort — one fewer sort operand either way).
+        if gather == 1:
+            # The combined key IS (keym << 20 | row id).
+            gidx_s = keym & ((1 << 20) - 1)
+            keym_plain = keym >> 20
+        else:
+            gidx_s = gouts[0]
+            keym_plain = keym
         inv_p = 1.0 / pscale
         xcl = jnp.clip((p1u & HALF).astype(jnp.float32) * inv_p,
                        PAD_LO_W + 0.5, PAD_LO_W + w - 0.5)
@@ -731,15 +731,16 @@ def _bin_and_splat(scal, outs, gather, time, *, tiles_x, pscale,
         c0g = jnp.floor(xcl - 0.5).astype(jnp.int32)
         krow = keym_plain // tiles_x
         kcol = keym_plain - krow * tiles_x
-        # Low-edge bound included — see the gather==2 fits test above.
+        # Both bilinear corners must lie INSIDE the key tile's region —
+        # including the low edge: an edge-clamped p1 can land one row/col
+        # before the region start when PAD_LO+extent is a tile multiple
+        # (ADVICE r2), silently dropping that corner's weight.
         fits = ((r0g >= krow * TILE_H) & (c0g >= kcol * TILE_W)
                 & (r0g + 1 < krow * TILE_H + REGION_H)
                 & (c0g + 1 < kcol * TILE_W + REGION_W))
         own = (r0g // TILE_H) * tiles_x + (c0g // TILE_W)
         gkey_s = jnp.where(fits, keym_plain, own)
         aux = (gidx_s, gkey_s, p1u)
-    elif gather == 2:
-        aux = (gouts[1], gouts[0], p1u)
     else:
         aux = None
 
@@ -922,7 +923,7 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
     smem_scal = pl.BlockSpec((1, 32), lambda b: (0, 0),
                              memory_space=pltpu.SMEM)
     n_out = (4 if derive_p0 else 5) - (1 if scalar_color else 0) \
-        + (2 if gather == 2 else 0)
+        + (1 if gather == 2 else 0)
     if scalar_color:
         # The pack kernel never reads the map values or the vignette pos
         # (colours run in the splat kernel) — feed placeholders.
@@ -946,11 +947,15 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
         out_shape=[jax.ShapeDtypeStruct((n_pad,), i32)] * n_out,
         interpret=interpret,
     )(*pack_in)
+    # Combined keys (gather==1) are unique by construction; otherwise
+    # stability is only needed when pad rows exist (they must sort after a
+    # real row sharing their clamped corner tile).
+    stable = gather != 1 and n_pad != n
     flow_parts, view_parts, aux, ride_s = _bin_and_splat(
         scal, outs, gather, time, tiles_x=tiles_x,
         pscale=pscale, samples=samples, h=h, w=w, hp=hp, wp=wp,
         n_pad=n_pad, interpret=interpret, ride=ride, derive_p0=derive_p0,
-        scalar_color=scalar_color, raw_accum=raw_accum)
+        scalar_color=scalar_color, raw_accum=raw_accum, stable=stable)
     if ride is not None:
         return flow_parts, view_parts, aux, ride_s
     if idx is None:
@@ -1131,6 +1136,11 @@ def resolve_fused(accum, flow, view, fade_rgba, auto_clear, time,
             pltpu.VMEM((2, N_CHAN, rb, w), jnp.float32),
             pltpu.SemaphoreType.DMA((2, N_CHAN)),
         ],
+        # The previous flow/view buffers are donated to the outputs: block
+        # b is read at grid step b strictly before its replacement is
+        # written back, so the in-place update is safe and XLA drops two
+        # full-grid carry copies per frame.
+        input_output_aliases={2: 0, 3: 1},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
@@ -1242,7 +1252,7 @@ def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
     gather; return becomes `(new_flow, new_view[, aux][, eff])`."""
     pallas_resolve = resolve == "pallas"
     if pallas_resolve:
-        assert psum is None and ride is None
+        assert psum is None
     out = fused_draw_accumulate(
         grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
         params["speedLimit"], time, idx=idx, ride=ride, samples=samples,
@@ -1267,6 +1277,8 @@ def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
         ret = [new_flow, new_view]
         if idx is not None:
             ret.append(out[2])
+        if ride is not None:
+            ret.append(out[3])
         if want_eff:
             ret.append(res[2])
         return tuple(ret)

@@ -242,7 +242,11 @@ def bilinear_gather(grid, x, y, interpret=None):
            + (jnp.floor(xs - 0.5).astype(jnp.int32) // TILE_W))
 
     slot = jax.lax.iota(jnp.int32, m_pad)
-    key, xs, ys, slot = jax.lax.sort([key, xs, ys, slot], num_keys=1)
+    # Unstable: ties only reorder whole (key, x, y, slot) rows within a
+    # tile run, and the kernel bins by key runs (a stable sort would add a
+    # hidden iota tiebreaker operand).
+    key, xs, ys, slot = jax.lax.sort([key, xs, ys, slot], num_keys=1,
+                                     is_stable=False)
 
     blocked = pl.BlockSpec((BLOCK,), lambda b: (b,),
                            memory_space=pltpu.VMEM)
@@ -264,8 +268,10 @@ def bilinear_gather(grid, x, y, interpret=None):
         interpret=interpret,
     )(key, xs, ys, gsrc)
 
-    # Un-sort back to slot order (sort is far cheaper than TPU scatter).
-    _, *vals = jax.lax.sort([slot] + [out[i] for i in range(c)], num_keys=1)
+    # Un-sort back to slot order (sort is far cheaper than TPU scatter);
+    # slots are unique — no stability needed.
+    _, *vals = jax.lax.sort([slot] + [out[i] for i in range(c)],
+                            num_keys=1, is_stable=False)
     return jnp.stack(vals)[:, :m]
 
 
