@@ -30,6 +30,7 @@ post box-blur of the excess.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -94,6 +95,32 @@ def _q15(v, lo, hi):
 
 _BIG = 2 ** 30  # sentinel key (plain int: jnp constants can't be captured
 # by pallas kernel closures)
+
+# Chunked segment sort: `lax.sort` is a bitonic network (depth ~log²n), so
+# at big N sorting C independent chunks as ONE batched [C, n/C] call cuts
+# the comparator depth. The splat kernel only needs PER-BLOCK sortedness,
+# and chunk sizes are BLOCK multiples, so blocks never span a chunk
+# boundary — correctness is unchanged; the cost is that every chunk spans
+# the whole grid, so distinct-region DMA visits rise toward C× at high
+# density. The crossover is a hardware measurement (BENCHMARKS.md round-3
+# ledger). TT_SORT_CHUNKS: 0 = auto policy, else an explicit chunk count.
+SORT_CHUNKS = int(os.environ.get("TT_SORT_CHUNKS", "0"))
+
+
+def _sort_chunks(n_pad, seg_block):
+    """Resolve the segment-sort chunk count: the largest divisor of the
+    block count <= the request, so chunks tile the stream exactly and every
+    splat block stays inside one chunk."""
+    want = SORT_CHUNKS
+    if want == 0:
+        # Auto: flat sort below 4M rows (chunking's extra region visits
+        # outweigh the sort saving at small N); ~2M-row chunks above.
+        want = 1 if n_pad < (1 << 22) else n_pad // (1 << 21)
+    blocks = n_pad // seg_block
+    c = max(1, min(want, blocks))
+    while blocks % c:
+        c -= 1
+    return c
 
 
 def _win_split(seg):
@@ -695,8 +722,18 @@ def _bin_and_splat(scal, outs, gather, time, *, tiles_x, pscale,
     # key could tie a real row (pads must sort strictly last); everywhere
     # else ties are additive deposits / id-tracked rows, where any
     # deterministic order is equally valid.
-    sorted_ops = jax.lax.sort(seg_ops + gouts + ride, num_keys=1,
-                              is_stable=stable)
+    ops_all = seg_ops + gouts + ride
+    chunks = _sort_chunks(n_pad, BLOCK // samples)
+    if chunks > 1:
+        # Batched chunk sort (see SORT_CHUNKS): per-block sortedness is all
+        # the splat kernel needs, and blocks never span a chunk boundary.
+        # Pad rows live in the last chunk and still sort to its end.
+        sorted_ops = jax.lax.sort(
+            [o.reshape(chunks, -1) for o in ops_all], num_keys=1,
+            is_stable=stable)
+        sorted_ops = [o.reshape(-1) for o in sorted_ops]
+    else:
+        sorted_ops = jax.lax.sort(ops_all, num_keys=1, is_stable=stable)
     rem = list(sorted_ops[:n_seg_ops])
     keym = rem.pop(0)
     if p0u is not None:
