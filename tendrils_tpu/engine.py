@@ -295,7 +295,7 @@ def step_sim(sim: state_mod.SimState, params, time, dt, cfg: EngineConfig,
 def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
              view_size, axis_name=None, want_aux=False, resident=False,
              targets_live=True, stepped=False, fast_resolve=False,
-             read_time=None, want_eff=False):
+             read_time=None, want_eff=False, want_force=False):
     """Flow + view render passes — ref `src/index.js:278-340`.
 
     With `axis_name` set (data-parallel shard_map over particles), the splat
@@ -333,7 +333,14 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
     the CURRENT velocity — consumed only by the stochastic target-spawn
     scorers, documented deviation. With `targets_live=False` (engine knows
     no targets were ever spawned) the targets buffer doesn't ride and is
-    re-emitted as zeros."""
+    re-emitted as zeros.
+
+    `want_force=True` (resident + single-device only): the carried flow
+    force is gathered INSIDE the draw by one fused Pallas pass
+    (`gather_reconstruct_p1` — keyed gather + state reassembly over the
+    same sorted streams) and returned already set on `sim.force`; the
+    return is always `(sim', aux)` and the caller skips
+    `force_from_aux`."""
     pos = sim.particles[:2]
     vel = sim.particles[2:]
     prev_pos = sim.previous[:2]
@@ -425,7 +432,7 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
         eff = out[-1] if want_eff else None
         new_flow, view0 = out[:2]
         if resident:
-            from .ops.draw_pallas import reconstruct_resident
+            from .ops.draw_pallas import pos_scale_for, reconstruct_resident
             aux, ride_s = out[2], out[3]
             n = n_local
             # One-pass state reassembly: new velocity from the sorted splat
@@ -433,9 +440,30 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
             # scale the classic carried force already crossed; the live bit
             # rides bit 30), prev = pos - vel for live rows.
             sl = jnp.maximum(params["speedLimit"], 1e-12)
-            rec = reconstruct_resident(
-                ride_s[0], ride_s[1], ride_s[-1], sl,
-                *((ride_s[2], ride_s[3]) if targets_live else (None, None)))
+            force = None
+            if want_force and axis_name is None:
+                # Fused frame tail: the keyed carried-force gather and the
+                # reconstruction walk the SAME sorted streams — one Pallas
+                # pass does both (launch + one HBM crossing of the streams
+                # saved; `force_from_aux` never runs).
+                from .ops.gather_pallas import gather_reconstruct_p1
+                assert read_time is not None
+                if eff is None:
+                    eff = new_flow[:2] * jnp.maximum(
+                        0.0, 1.0 - (read_time - new_flow[2])
+                        * params["flowDecay"])[None]
+                rec = gather_reconstruct_p1(
+                    eff, aux[2], aux[1], ride_s[0], ride_s[1], ride_s[-1],
+                    sl, *((ride_s[2], ride_s[3]) if targets_live
+                          else (None, None)),
+                    inv_p=1.0 / pos_scale_for((h, w)))
+                force = rec[0][:, :n]
+                rec = rec[1:]
+            else:
+                rec = reconstruct_resident(
+                    ride_s[0], ride_s[1], ride_s[-1], sl,
+                    *((ride_s[2], ride_s[3]) if targets_live
+                      else (None, None)))
             particles = rec[0][:, :n]
             prev = rec[1][:, :n]
             if targets_live:
@@ -449,6 +477,8 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
                 sim, particles=particles, previous=prev, targets=targets,
                 idx=aux[0][:n], flow=new_flow,
                 view=sim.view.at[0].set(view0))
+            if force is not None:
+                return dataclasses.replace(new_sim, force=force), aux
             if want_eff:
                 return new_sim, aux, eff
             return new_sim, aux
@@ -910,7 +940,9 @@ def _frame_jit(sim, params, time, dt, cfg, view_size,
                    want_aux=True, resident=resident,
                    targets_live=targets_live, stepped=True,
                    fast_resolve=fast_resolve, read_time=time + dt,
-                   want_eff=fast_resolve)
+                   want_eff=fast_resolve, want_force=resident)
+    if resident:  # fused gather+reconstruct set sim.force in the draw
+        return out[0]
     sim, aux = out[:2]
     eff = out[2] if len(out) > 2 else None
     force = force_from_aux(sim.flow, aux, params, time + dt, cfg,
@@ -963,8 +995,11 @@ def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
     eff = None
     resident = resident_enabled(cfg) and stepping
     # The fused resolve may pre-compute the decayed flow for the gather
-    # only when nothing edits the flow between this draw and the gather.
+    # only when nothing edits the flow between this draw and the gather;
+    # the same condition lets the resident frame fuse the gather into the
+    # draw outright (`want_force` — sim.force comes back already set).
     want_eff = fast_resolve and seg is None and of is None
+    want_force = resident and seg is None and of is None
     if not stepping:
         sim = draw_sim(sim, params, time, cfg, view_size)
     elif carry:
@@ -973,9 +1008,11 @@ def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
                        want_aux=True, resident=resident,
                        targets_live=targets_live, stepped=True,
                        fast_resolve=fast_resolve, read_time=time + dt,
-                       want_eff=want_eff)
+                       want_eff=want_eff, want_force=want_force)
         sim, aux = out[:2]
         eff = out[2] if len(out) > 2 else None
+        if want_force:
+            aux = None  # the fused draw already set sim.force
     else:
         sim = step_sim(sim, params, time, dt, cfg, view_size)
         sim = draw_sim(sim, params, time, cfg, view_size, stepped=True,
@@ -1046,7 +1083,9 @@ def run_headless(sim, params, cfg: EngineConfig, view_size, t0, dt, steps,
                            want_aux=True, resident=resident,
                            targets_live=targets_live, stepped=True,
                            fast_resolve=fast_resolve, read_time=time + dt,
-                           want_eff=fast_resolve)
+                           want_eff=fast_resolve, want_force=resident)
+            if resident:  # fused gather+reconstruct set sim.force
+                return out[0], ()
             sim, aux = out[:2]
             eff = out[2] if len(out) > 2 else None
             force = force_from_aux(sim.flow, aux, params, time + dt, cfg,

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..const import INERT
 from .tile_geom import (HALF, PAD_LO_H, PAD_LO_W, REGION_H, REGION_W,
                         TILE_H, TILE_W, pad_dims as _pad_dims)
 
@@ -49,7 +50,8 @@ def _content_ok(h, w):
 
 
 def _kernel(key_ref, x_ref, y_ref, grid_ref, out_ref, *rest, tiles_x,
-            n_chan, hp, content_hw=None, from_p1=None, pack=False):
+            n_chan, hp, content_hw=None, from_p1=None, pack=False,
+            recon=0):
     """One block of sorted sample points (padded-grid pixel coords).
 
     grid: f32[n_chan*HP, WP] in HBM (channels stacked on rows — every DMA
@@ -72,8 +74,24 @@ def _kernel(key_ref, x_ref, y_ref, grid_ref, out_ref, *rest, tiles_x,
     `pack=True` (requires from_p1, n_chan == 2): `y_ref` holds
     `1/speedLimit` and `out_ref` is `i32[1, BLOCK]`: the gathered force
     packed as two q15 fields over ±speedLimit — exactly the one value
-    operand the engine's force un-sort rides (`engine.force_from_aux`)."""
-    if pack:
+    operand the engine's force un-sort rides (`engine.force_from_aux`).
+
+    `recon=1|2` (requires from_p1, resident-stream frames): the call also
+    carries the sorted ride streams `npx, npy, vl[, tx, ty]` as extra
+    inputs and reassembles the next frame's `particles`/`previous`
+    [/`targets`] `f32[4, BLOCK]` outputs in the same pass (the
+    `draw_pallas._reconstruct_kernel` math), with `y_ref` holding
+    `speedLimit` — one kernel instead of gather + reconstruct, and the
+    streams cross HBM once."""
+    if recon:
+        n_s = 3 + (2 if recon == 2 else 0)  # npx, npy, vl[, tx, ty]
+        streams = (out_ref,) + rest[:n_s - 1]
+        out_ref = rest[n_s - 1]
+        part_ref, prev_ref = rest[n_s:n_s + 2]
+        targ_ref = rest[n_s + 2] if recon == 2 else None
+        facc = None
+        region, sems = rest[-2:]
+    elif pack:
         facc, region, sems = rest
     else:
         facc = None
@@ -188,6 +206,33 @@ def _kernel(key_ref, x_ref, y_ref, grid_ref, out_ref, *rest, tiles_x,
         return jnp.min(jnp.where(key > t, key, jnp.int32(2 ** 30)))
 
     jax.lax.while_loop(lambda t: t <= t_hi, tile_step, jnp.min(key))
+
+    if recon:
+        # Resident-stream state reassembly (mirror of
+        # `draw_pallas._reconstruct_kernel`): un-quantise the q15 velocity
+        # word, prev = pos − vel for live rows.
+        sl = y_ref[0, 0]
+        npx_ref, npy_ref, vl_ref = streams[:3]
+        npx = npx_ref[:]
+        npy = npy_ref[:]
+        vel_u = vl_ref[:] & (2 ** 30 - 1)
+        nvx = ((vel_u & HALF).astype(jnp.float32) * (2.0 / HALF) - 1.0) * sl
+        nvy = ((vel_u >> 15).astype(jnp.float32) * (2.0 / HALF) - 1.0) * sl
+        alive = (npx != INERT) | (npy != INERT)
+        part_ref[0] = npx
+        part_ref[1] = npy
+        part_ref[2] = nvx
+        part_ref[3] = nvy
+        prev_ref[0] = jnp.where(alive, npx - nvx, npx)
+        prev_ref[1] = jnp.where(alive, npy - nvy, npy)
+        prev_ref[2] = nvx
+        prev_ref[3] = nvy
+        if recon == 2:
+            zeros = jnp.zeros_like(npx)
+            targ_ref[0] = streams[3][:]
+            targ_ref[1] = streams[4][:]
+            targ_ref[2] = zeros
+            targ_ref[3] = zeros
 
     if pack:
         # Pack the gathered force as the un-sort's single value operand
@@ -445,3 +490,76 @@ def bilinear_gather_keyed_p1(grid, p1_packed, keys, *, inv_p,
         interpret=interpret,
     )(keys, p1_packed, jnp.zeros((1, 1), jnp.float32), gsrc)
     return out[:, :m]
+
+
+@functools.partial(jax.jit, static_argnames=("inv_p", "interpret"))
+def gather_reconstruct_p1(grid, p1_packed, keys, npx, npy, vl, speed_limit,
+                          tx=None, ty=None, *, inv_p, interpret=None):
+    """Resident-stream frame tail in ONE Pallas pass: the keyed carried
+    -force gather of `bilinear_gather_keyed_p1` PLUS the state reassembly
+    of `draw_pallas.reconstruct_resident` — both walk the same sorted draw
+    streams, so fusing them drops a kernel launch and reads the streams
+    from HBM once per frame. Returns `(force f32[2, M], particles f32[4, M],
+    previous f32[4, M][, targets f32[4, M]])` in sorted (= new row) order;
+    the caller slices `[:, :n]`."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    c, h, w = grid.shape
+    assert c == 2
+    hp, wp = _pad_dims(h, w)
+    tiles_x = wp // TILE_W
+
+    m = p1_packed.shape[0]
+    m_pad = (m + BLOCK - 1) // BLOCK * BLOCK
+    pad = m_pad - m
+    targets = tx is not None
+    if pad:
+        p1_packed, keys, vl = (jnp.pad(v, (0, pad))
+                               for v in (p1_packed, keys, vl))
+        npx, npy = jnp.pad(npx, (0, pad)), jnp.pad(npy, (0, pad))
+        if targets:
+            tx, ty = jnp.pad(tx, (0, pad)), jnp.pad(ty, (0, pad))
+
+    content = _content_ok(h, w)
+    if content:
+        gsrc = grid.reshape(c * h, w)
+    else:
+        gpad = jnp.pad(grid, ((0, 0), (PAD_LO_H, hp - h - PAD_LO_H),
+                              (PAD_LO_W, wp - w - PAD_LO_W)))
+        gsrc = gpad.reshape(c * hp, wp)
+
+    fp1 = (inv_p, PAD_LO_W + 0.5, PAD_LO_W + w - 0.5,
+           PAD_LO_H + 0.5, PAD_LO_H + h - 0.5)
+    blocked = pl.BlockSpec((BLOCK,), lambda b: (b,),
+                           memory_space=pltpu.VMEM)
+    out4 = pl.BlockSpec((4, BLOCK), lambda b: (0, b),
+                        memory_space=pltpu.VMEM)
+    recon = 2 if targets else 1
+    ins = [keys, p1_packed,
+           jnp.reshape(jnp.asarray(speed_limit, jnp.float32), (1, 1)),
+           gsrc, npx, npy, vl] + ([tx, ty] if targets else [])
+    n_out = 4 if targets else 3
+    outs = pl.pallas_call(
+        functools.partial(_kernel, tiles_x=tiles_x, n_chan=c, hp=hp,
+                          content_hw=((h, w) if content else None),
+                          from_p1=fp1, recon=recon),
+        grid=(m_pad // BLOCK,),
+        in_specs=[blocked, blocked,
+                  pl.BlockSpec((1, 1), lambda b: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)]
+        + [blocked] * (5 if targets else 3),
+        out_specs=[pl.BlockSpec((c, BLOCK), lambda b: (0, b),
+                                memory_space=pltpu.VMEM)]
+        + [out4] * (n_out - 1),
+        out_shape=[jax.ShapeDtypeStruct((c, m_pad), jnp.float32)]
+        + [jax.ShapeDtypeStruct((4, m_pad), jnp.float32)] * (n_out - 1),
+        scratch_shapes=[
+            pltpu.VMEM((c * REGION_H, REGION_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((c,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(*ins)
+    return outs
