@@ -119,7 +119,7 @@ def _scan_steps(eng, steps, params=None):
     return (time.time() - t0) / steps
 
 
-def _line(config, n, sec_per_step, extra=""):
+def _line(config, n, sec_per_step, extra="", **more):
     psteps = n / sec_per_step
     print(json.dumps({
         "metric": "particle_steps_per_sec",
@@ -128,6 +128,7 @@ def _line(config, n, sec_per_step, extra=""):
         "unit": f"particle-steps/s ({extra})",
         "ms_per_step": round(sec_per_step * 1000, 2),
         "vs_baseline": round(psteps / BASELINE_PSTEPS, 4),
+        **more,
     }))
 
 
@@ -154,24 +155,41 @@ def bench_default(on_tpu):
     }))
 
 
-def bench_all(on_tpu):
+def bench_all(on_tpu, only=None):
     # Scan lengths chosen so the ~24 ms tunnel dispatch amortises to
     # <0.3 ms/step (steady-state device throughput; config 3 keeps its
     # respawn-every-10-steps cadence — the host round-trip is part of
-    # that config's semantics).
+    # that config's semantics). `only`: run a single config (battery
+    # sweeps re-launch per env variant, e.g. TT_SORT_CHUNKS).
     s = 60 if on_tpu else 2
 
+    def want(k):
+        return only is None or only == k
+
     # 1: default demo preset scale, 256^2, noise-only.
-    eng = _engine(256 if on_tpu else 32, (720, 1280), on_tpu)
-    eng.state["flowWeight"] = 0.0
-    sec = _scan_steps(eng, s * 3 if on_tpu else s)
-    _line("1:256sq-noise-only", eng.config.n, sec, "256² noise-only, 720p")
+    if want(1):
+        eng = _engine(256 if on_tpu else 32, (720, 1280), on_tpu)
+        eng.state["flowWeight"] = 0.0
+        sec = _scan_steps(eng, s * 3 if on_tpu else s)
+        _line("1:256sq-noise-only", eng.config.n, sec,
+              "256² noise-only, 720p")
 
     # 2: 1M flow feedback + trail, 1080p.
-    eng = _engine(1024 if on_tpu else 64, (1080, 1920), on_tpu)
-    sec = _scan_steps(eng, s)
-    _line("2:1M-flow-trail", eng.config.n, sec, "1M flow feedback, 1080p")
+    if want(2):
+        eng = _engine(1024 if on_tpu else 64, (1080, 1920), on_tpu)
+        sec = _scan_steps(eng, s)
+        _line("2:1M-flow-trail", eng.config.n, sec,
+              "1M flow feedback, 1080p")
 
+    if want(3):
+        _bench_3(on_tpu, s)
+    if want(4):
+        _bench_4(on_tpu)
+    if want(5):
+        _bench_5(on_tpu)
+
+
+def _bench_3(on_tpu, s):
     # 3: 4M respawn stress (GPU ball respawn every 10 steps).
     from tendrils_tpu.ops import spawn as sp
     eng = _engine(2048 if on_tpu else 64, (1080, 1920), on_tpu)
@@ -188,6 +206,8 @@ def bench_all(on_tpu):
     _line("3:4M-respawn-stress", eng.config.n, sec,
           "4M, respawn every 10 steps")
 
+
+def _bench_4(on_tpu):
     # 4: optical-flow-driven (synthetic moving-bar camera at 480p). The
     # whole frame — optical-flow kernel + composite + step + draw — is ONE
     # dispatch (`engine.step_draw_io`); the per-frame host work is the video
@@ -221,9 +241,43 @@ def bench_all(on_tpu):
         of_frame(i + 2)
     float(eng.sim.particles[0, 0])
     sec = (time.time() - t0) / frames
-    _line("4:optical-flow-driven", eng.config.n, sec,
-          "512² + camera optical flow")
 
+    # Honest device-side number (VERDICT r3 item 5): the SAME jitted
+    # io-frame over PRE-UPLOADED device frames — separates the per-frame
+    # 0.9 MB host→device upload (which the axon tunnel's ~24 ms dispatch
+    # floor dominates; a locally attached chip pays far less) from the
+    # device work. Headline stays the end-to-end number.
+    from tendrils_tpu import media
+
+    def bar_grid(i):
+        img = np.zeros((480, 640, 3), np.uint8)
+        img[:, (i * 8) % 600:(i * 8) % 600 + 40] = 255
+        return jnp.asarray(media.image_to_grid(img, keep_u8=True))
+
+    dev = [bar_grid(i) for i in range(8)]
+    float(dev[0][0, 0, 0].astype(jnp.float32))  # land uploads before timing
+
+    def dev_frame(i):
+        eng.timer.tick()
+        eng.step_draw_io(of_frames=(dev[i % 8], dev[(i - 1) % 8]),
+                         of_uniforms=of_uniforms)
+
+    dev_frame(1)
+    dev_frame(2)
+    float(eng.sim.particles[0, 0])
+    t0 = time.time()
+    for i in range(frames):
+        dev_frame(i + 3)
+    float(eng.sim.particles[0, 0])
+    sec_dev = (time.time() - t0) / frames
+    _line("4:optical-flow-driven", eng.config.n, sec,
+          "512² + camera optical flow",
+          device_ms_per_step=round(sec_dev * 1000, 2),
+          device_vs_baseline=round(
+              eng.config.n / sec_dev / BASELINE_PSTEPS, 4))
+
+
+def _bench_5(on_tpu):
     # 5: live-show: 16M particles, 4K trail, audio-style modulation + bokeh
     # run EVERY frame (the live-show config includes post).
     from tendrils_tpu.ops import post
@@ -252,7 +306,10 @@ def bench_all(on_tpu):
 
 def main():
     on_tpu = jax.default_backend() == "tpu"
-    if "--all" in sys.argv:
+    if "--config" in sys.argv:
+        only = int(sys.argv[sys.argv.index("--config") + 1])
+        bench_all(on_tpu, only=only)
+    elif "--all" in sys.argv:
         bench_all(on_tpu)
     else:
         bench_default(on_tpu)

@@ -18,8 +18,9 @@ import bench  # noqa: E402
 def main():
     fr = os.environ.get("TT_FR", "0") == "1"
     kw = {}
-    if os.environ.get("TT_RESIDENT", "") == "1":
-        kw["resident_stream"] = True
+    res = os.environ.get("TT_RESIDENT", "")
+    if res:  # "1" opts in, "0" forces the classic carry path
+        kw["resident_stream"] = res == "1"
     root = int(os.environ.get("TT_ROOT", 1024))
     h, w = (int(v) for v in
             os.environ.get("TT_RES", "1080x1920").split("x"))

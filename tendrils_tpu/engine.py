@@ -335,12 +335,14 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
     no targets were ever spawned) the targets buffer doesn't ride and is
     re-emitted as zeros.
 
-    `want_force=True` (resident + single-device only): the carried flow
+    `want_force=True` (resident path only — raises otherwise, so callers
+    can't silently lose the carried force, ADVICE r3): the carried flow
     force is gathered INSIDE the draw by one fused Pallas pass
     (`gather_reconstruct_p1` — keyed gather + state reassembly over the
     same sorted streams) and returned already set on `sim.force`; the
-    return is always `(sim', aux)` and the caller skips
-    `force_from_aux`."""
+    return is always `(sim', aux)` and the caller skips `force_from_aux`.
+    Works under shard_map: the gather reads the replicated post-psum flow
+    with this shard's local streams."""
     pos = sim.particles[:2]
     vel = sim.particles[2:]
     prev_pos = sim.previous[:2]
@@ -377,6 +379,11 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
         # the splat kernel gets the four scalars and computes colours
         # in-kernel (two fewer sort operands on the hot path).
         resident = resident and want_aux
+        if want_force and not resident:
+            raise ValueError(
+                "want_force requires the resident fused path (resident=True"
+                " with want_aux) — the caller would otherwise silently get"
+                " sim.force=None (ADVICE r3)")
         derive = resident or (stepped and _DERIVE_CLASSIC)
         scalar_map = derive and cfg.color_map_res == (1, 1)
         mapped = None
@@ -390,8 +397,10 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
         p1 = coords.clip_to_pixel(p_clip1, (w, h))
 
         # The Pallas resolve applies autoClear + fade IN-KERNEL; the XLA
-        # tail pre-applies them here.
-        presolve = fast_resolve and axis_name is None
+        # tail pre-applies them here. Under shard_map the RAW accumulator
+        # is psum'd before the fused resolve (see `fused_draw`), so the
+        # sharded frame runs the same fast resolve.
+        presolve = fast_resolve
         view0 = sim.view[0]
         if not presolve:
             view0 = view0 * (1.0 - params["autoClearView"])
@@ -421,6 +430,10 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
             sim.flow, view0, p0, p1, vel, pos, mapped, live, params, time,
             grid_hw=(h, w), samples=cfg.view_samples,
             idx=idx_arg, ride=ride,
+            # Resident rows carry GLOBAL ids (a sharded frame's local
+            # stream may hold ids up to cfg.n) — bound them explicitly so
+            # the combined 20-bit key packing stays sound.
+            idx_bound=(cfg.n if resident else None),
             derive_p0=derive, view_size=(view_size if derive
                                          else None),
             mapped_scalar=mapped_scalar,
@@ -441,11 +454,14 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
             # rides bit 30), prev = pos - vel for live rows.
             sl = jnp.maximum(params["speedLimit"], 1e-12)
             force = None
-            if want_force and axis_name is None:
+            if want_force:
                 # Fused frame tail: the keyed carried-force gather and the
                 # reconstruction walk the SAME sorted streams — one Pallas
                 # pass does both (launch + one HBM crossing of the streams
-                # saved; `force_from_aux` never runs).
+                # saved; `force_from_aux` never runs). Valid under
+                # shard_map too: `eff`/`new_flow` are replicated
+                # (post-psum), and the gather walks this shard's LOCAL
+                # sorted streams.
                 from .ops.gather_pallas import gather_reconstruct_p1
                 assert read_time is not None
                 if eff is None:

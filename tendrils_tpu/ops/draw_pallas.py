@@ -838,10 +838,11 @@ def pos_scale_for(grid_hw):
 
 @functools.partial(jax.jit, static_argnames=("grid_hw", "samples",
                                              "interpret",
-                                             "derive_p0", "raw_accum"))
+                                             "derive_p0", "raw_accum",
+                                             "idx_bound"))
 def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
                           live, speed_limit, time, *, idx=None, ride=None,
-                          samples=2,
+                          idx_bound=None, samples=2,
                           interpret=None, flow_width=1.0,
                           line_width=1.0, speed_alpha=1.0, sin_decay=0.0,
                           flow_decay=0.0, base_color=None, flow_color=None,
@@ -924,11 +925,20 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
             ride = [jnp.pad(r, (0, pad)) for r in ride]
 
     # Gather-stream mode: packed key+id in one operand when both fit 31
-    # bits, else two operands.
+    # bits, else two operands. `idx_bound` (an exclusive upper bound on the
+    # id VALUES — sharded resident frames carry GLOBAL ids on a local-sized
+    # stream) must also fit: the combined key packs the id in 20 bits, and
+    # the pads-sort-last guarantee needs pad ids (>= n_pad) to exceed every
+    # real id.
     num_tiles = (hp // TILE_H) * tiles_x
     if idx is None:
         gather = 0
-    elif n_pad <= (1 << 20) and num_tiles <= (1 << 11):
+    elif n_pad <= (1 << 20) and num_tiles <= (1 << 11) \
+            and (idx_bound is None or idx_bound <= n):
+        # Pad ids start at the LOCAL row count `n` — they only sort last if
+        # every real id is below that, which `idx_bound <= n` guarantees
+        # (single-chip streams are id-dense; sharded streams carry global
+        # ids and fall through to gather=2, where stability orders pads).
         gather = 1
     else:
         gather = 2
@@ -1185,17 +1195,15 @@ def resolve_fused(accum, flow, view, fade_rgba, auto_clear, time,
     return tuple(outs[:n_out])
 
 
-def _reconstruct_kernel(sl_ref, npx_ref, npy_ref, vl_ref, *rest, targets):
-    """Resident-stream state reassembly in ONE pass (see
-    `reconstruct_resident`)."""
-    if targets:
-        tx_ref, ty_ref, part_ref, prev_ref, targ_ref = rest
-    else:
-        part_ref, prev_ref = rest
-    sl = sl_ref[0, 0]
-    npx = npx_ref[:]
-    npy = npy_ref[:]
-    vel_u = vl_ref[:] & (2 ** 30 - 1)
+def reconstruct_rows(sl, npx, npy, vl, part_ref, prev_ref, targ_ref=None,
+                     tx=None, ty=None):
+    """Shared resident-stream reassembly body (un-quantise the q15
+    velocity word, alive test, prev = pos − vel, targets re-stack) —
+    called from both `_reconstruct_kernel` and `gather_pallas._kernel`'s
+    fused recon tail so the live-bit / q15 semantics can't silently
+    diverge between the two (ADVICE r3). `sl`: speedLimit scalar; value
+    arrays in, output refs written in place."""
+    vel_u = vl & (2 ** 30 - 1)
     nvx = ((vel_u & HALF).astype(jnp.float32) * (2.0 / HALF) - 1.0) * sl
     nvy = ((vel_u >> 15).astype(jnp.float32) * (2.0 / HALF) - 1.0) * sl
     alive = (npx != INERT) | (npy != INERT)
@@ -1207,12 +1215,25 @@ def _reconstruct_kernel(sl_ref, npx_ref, npy_ref, vl_ref, *rest, targets):
     prev_ref[1] = jnp.where(alive, npy - nvy, npy)
     prev_ref[2] = nvx
     prev_ref[3] = nvy
-    if targets:
+    if targ_ref is not None:
         zeros = jnp.zeros_like(npx)
-        targ_ref[0] = tx_ref[:]
-        targ_ref[1] = ty_ref[:]
+        targ_ref[0] = tx
+        targ_ref[1] = ty
         targ_ref[2] = zeros
         targ_ref[3] = zeros
+
+
+def _reconstruct_kernel(sl_ref, npx_ref, npy_ref, vl_ref, *rest, targets):
+    """Resident-stream state reassembly in ONE pass (see
+    `reconstruct_resident`)."""
+    if targets:
+        tx_ref, ty_ref, part_ref, prev_ref, targ_ref = rest
+        tx, ty = tx_ref[:], ty_ref[:]
+    else:
+        part_ref, prev_ref = rest
+        targ_ref = tx = ty = None
+    reconstruct_rows(sl_ref[0, 0], npx_ref[:], npy_ref[:], vl_ref[:],
+                     part_ref, prev_ref, targ_ref, tx, ty)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -1265,7 +1286,7 @@ def reconstruct_resident(npx, npy, vl, speed_limit, tx=None, ty=None,
 
 def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
                params, time, *, grid_hw, samples=2, interpret=None,
-               idx=None, ride=None, psum=None,
+               idx=None, ride=None, idx_bound=None, psum=None,
                derive_p0=False, view_size=None, mapped_scalar=None,
                resolve="xla", read_time=None, want_eff=False):
     """Full fused draw: accumulate with in-kernel per-pass line widths
@@ -1279,20 +1300,23 @@ def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
     `psum`: optional reduction of the accumulated parts across a shard_map
     axis before the resolve — the deposit channels (numerators, weight sums,
     log-transmittances) are all order-independent sums, so data-parallel
-    shards compose exactly.
+    shards compose exactly. Composes with `resolve="pallas"`: the RAW
+    padded accumulator is psum'd (one 11-channel collective) and every
+    shard runs the same fused resolve on the summed accumulator — the
+    sharded frame runs the identical fast resolve the single-chip frame
+    does (VERDICT r3 item 2).
 
-    `resolve="pallas"` (single-device, narrow widths, aligned grid —
-    `resolve_eligible`): the whole XLA resolve tail runs as one Pallas pass
+    `resolve="pallas"` (narrow widths, aligned grid — `resolve_eligible`):
+    the whole XLA resolve tail runs as one Pallas pass
     (`_resolve_kernel`), INCLUDING `autoClearView` + fade fill of the
     previous view — the caller passes `view` un-faded. With `want_eff` a
     third output is the decayed flow at `read_time` for the carried-force
     gather; return becomes `(new_flow, new_view[, aux][, eff])`."""
     pallas_resolve = resolve == "pallas"
-    if pallas_resolve:
-        assert psum is None
     out = fused_draw_accumulate(
         grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
-        params["speedLimit"], time, idx=idx, ride=ride, samples=samples,
+        params["speedLimit"], time, idx=idx, ride=ride,
+        idx_bound=idx_bound, samples=samples,
         interpret=interpret, derive_p0=derive_p0,
         view_size=view_size, mapped_scalar=mapped_scalar,
         flow_width=params["flowWidth"], line_width=params["lineWidth"],
@@ -1303,6 +1327,8 @@ def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
         raw_accum=pallas_resolve)
     if pallas_resolve:
         accum = out[0]
+        if psum is not None:
+            accum = psum(accum)
         res = resolve_fused(
             accum, flow, view,
             params["fadeColor"] * params["autoFade"],

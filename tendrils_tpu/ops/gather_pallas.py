@@ -29,7 +29,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..const import INERT
 from .tile_geom import (HALF, PAD_LO_H, PAD_LO_W, REGION_H, REGION_W,
                         TILE_H, TILE_W, pad_dims as _pad_dims)
 
@@ -208,31 +207,17 @@ def _kernel(key_ref, x_ref, y_ref, grid_ref, out_ref, *rest, tiles_x,
     jax.lax.while_loop(lambda t: t <= t_hi, tile_step, jnp.min(key))
 
     if recon:
-        # Resident-stream state reassembly (mirror of
-        # `draw_pallas._reconstruct_kernel`): un-quantise the q15 velocity
-        # word, prev = pos − vel for live rows.
-        sl = y_ref[0, 0]
+        # Resident-stream state reassembly — the SAME body
+        # `draw_pallas._reconstruct_kernel` runs (shared helper, ADVICE
+        # r3: the q15/live-bit semantics live in one place).
+        from .draw_pallas import reconstruct_rows
         npx_ref, npy_ref, vl_ref = streams[:3]
-        npx = npx_ref[:]
-        npy = npy_ref[:]
-        vel_u = vl_ref[:] & (2 ** 30 - 1)
-        nvx = ((vel_u & HALF).astype(jnp.float32) * (2.0 / HALF) - 1.0) * sl
-        nvy = ((vel_u >> 15).astype(jnp.float32) * (2.0 / HALF) - 1.0) * sl
-        alive = (npx != INERT) | (npy != INERT)
-        part_ref[0] = npx
-        part_ref[1] = npy
-        part_ref[2] = nvx
-        part_ref[3] = nvy
-        prev_ref[0] = jnp.where(alive, npx - nvx, npx)
-        prev_ref[1] = jnp.where(alive, npy - nvy, npy)
-        prev_ref[2] = nvx
-        prev_ref[3] = nvy
-        if recon == 2:
-            zeros = jnp.zeros_like(npx)
-            targ_ref[0] = streams[3][:]
-            targ_ref[1] = streams[4][:]
-            targ_ref[2] = zeros
-            targ_ref[3] = zeros
+        reconstruct_rows(
+            y_ref[0, 0], npx_ref[:], npy_ref[:], vl_ref[:],
+            part_ref, prev_ref,
+            targ_ref if recon == 2 else None,
+            streams[3][:] if recon == 2 else None,
+            streams[4][:] if recon == 2 else None)
 
     if pack:
         # Pack the gathered force as the un-sort's single value operand

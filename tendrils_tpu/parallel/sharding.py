@@ -36,8 +36,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from .. import state as state_mod
-from ..engine import (EngineConfig, carry_enabled, draw_sim, force_from_aux,
-                      step_sim)
+from ..engine import (EngineConfig, carry_enabled, draw_sim, fast_resolve_ok,
+                      force_from_aux, resident_enabled, step_sim)
 
 AXIS = "dp"
 HOST_AXIS = "host"
@@ -114,10 +114,11 @@ def shard_sim(sim: state_mod.SimState, mesh: Mesh) -> state_mod.SimState:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "mesh"),
+                   static_argnames=("cfg", "mesh", "targets_live",
+                                    "fast_resolve"),
                    donate_argnums=(0,))
 def parallel_frame(sim, params, time, dt, cfg: EngineConfig, view_size,
-                   mesh: Mesh):
+                   mesh: Mesh, targets_live=True, fast_resolve=False):
     """One full step+draw frame, shard_map'd over the particle axis (or
     both axes of a multi-host mesh).
 
@@ -125,6 +126,15 @@ def parallel_frame(sim, params, time, dt, cfg: EngineConfig, view_size,
     sums which are `psum`'d before the blend resolve (see
     `engine.draw_sim(axis_name=...)`). Per-particle constants derive from
     the sharded `sim.idx`.
+
+    The body runs the SAME fast-path variant the single-chip `_frame_jit`
+    picks (VERDICT r3 item 2): `stepped=True` (a step precedes the draw in
+    this trace — drops the p0 sort operand on derive paths), resident
+    -stream when `engine.resident_enabled(cfg)` (each shard's exact state
+    rides its LOCAL segment sort; the fused `gather_reconstruct_p1` sets
+    the carried force inside the draw), and `fast_resolve` (the raw
+    11-channel accumulator is psum'd and every shard runs the fused Pallas
+    resolve). The sim's only collective remains the accumulator psum.
 
     With the carry path enabled (`engine.carry_enabled(cfg)`) the output
     sim carries each shard's flow force for the next frame, gathered from
@@ -134,6 +144,7 @@ def parallel_frame(sim, params, time, dt, cfg: EngineConfig, view_size,
     engine."""
     axes = _axes(mesh)
     carry = carry_enabled(cfg)
+    resident = resident_enabled(cfg)
     in_specs = _sim_specs(force=sim.force is not None, axes=axes)
     out_specs = _sim_specs(force=carry, axes=axes)
 
@@ -141,11 +152,19 @@ def parallel_frame(sim, params, time, dt, cfg: EngineConfig, view_size,
         sim = step_sim(sim, params, time, dt, cfg, view_size)
         if not carry:
             return draw_sim(sim, params, time, cfg, view_size,
-                            axis_name=axes)
-        sim, aux = draw_sim(sim, params, time, cfg, view_size,
-                            axis_name=axes, want_aux=True)
+                            axis_name=axes, stepped=True,
+                            fast_resolve=fast_resolve)
+        out = draw_sim(sim, params, time, cfg, view_size,
+                       axis_name=axes, want_aux=True, resident=resident,
+                       targets_live=targets_live, stepped=True,
+                       fast_resolve=fast_resolve, read_time=time + dt,
+                       want_eff=fast_resolve, want_force=resident)
+        if resident:  # fused gather+reconstruct set sim.force in the draw
+            return out[0]
+        sim, aux = out[:2]
+        eff = out[2] if len(out) > 2 else None
         force = force_from_aux(sim.flow, aux, params, time + dt, cfg,
-                               n=sim.particles.shape[1])
+                               n=sim.particles.shape[1], eff=eff)
         return dataclasses.replace(sim, force=force)
 
     fn = shard_map(
@@ -175,10 +194,13 @@ class ParallelTendrils:
     def frame(self):
         eng = self.engine
         eng.timer.tick()
+        eng._check_force_params()
         if eng.timer.paused:
             return self
         eng.sim = parallel_frame(
             eng.sim, eng.params(),
             jax.numpy.float32(eng.timer.time), jax.numpy.float32(eng.timer.dt),
-            eng.config, eng._view_size, self.mesh)
+            eng.config, eng._view_size, self.mesh,
+            targets_live=eng._targets_live,
+            fast_resolve=fast_resolve_ok(eng.config, eng.state))
         return self

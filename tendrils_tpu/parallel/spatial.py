@@ -44,7 +44,7 @@ from ..ops import splat as splat_ops
 from .sharding import AXIS, make_mesh  # noqa: F401  (re-export make_mesh)
 
 
-def _sim_specs():
+def _sim_specs(force=False):
     return state_mod.SimState(
         particles=P(None, AXIS),
         previous=P(None, AXIS),
@@ -54,7 +54,7 @@ def _sim_specs():
         color_map=P(),
         key=P(),
         idx=P(AXIS),
-        force=None,
+        force=(P(None, AXIS) if force else None),
     )
 
 
@@ -71,6 +71,53 @@ def shard_sim_spatial(sim: state_mod.SimState, mesh: Mesh):
     return dataclasses.replace(sim, **kw)
 
 
+def _slab_carry(cfg: EngineConfig) -> bool:
+    """Whether the slab frame carries the next step's flow force (fused
+    Pallas path only — the draw's segment sort doubles as the gather
+    binning, exactly like `engine.carry_enabled`)."""
+    from ..engine import carry_enabled
+    return carry_enabled(cfg)
+
+
+def _slab_step(sim, params, time, dt, cfg: EngineConfig, view_size):
+    """The slab-mode logic step (shard_map body fragment): flow force from
+    the carried per-shard force when present, else gathered from the
+    all-gathered 2-channel effective velocity — through the Pallas binned
+    gather on the pallas backend (the XLA `jnp.take` gather costs
+    ~1 µs/element on real TPU, VERDICT r3 item 4)."""
+    h, w = cfg.view_res
+    uv, index01, _ = state_mod.particle_coords_from_idx(sim.idx,
+                                                        cfg.root_num)
+    if sim.force is not None:
+        force = sim.force
+
+        def flow_force_fn(pos_screen):
+            del pos_screen
+            return force
+    else:
+        eff_local = sim.flow[:2] * jnp.maximum(
+            0.0, 1.0 - (time - sim.flow[2]) * params["flowDecay"])[None]
+        eff = jax.lax.all_gather(eff_local, AXIS, axis=1, tiled=True)
+
+        if cfg.gather_backend == "pallas":
+            from ..ops.gather_pallas import bilinear_gather
+
+            def flow_force_fn(pos_screen):
+                u = pos_screen * 0.5 + 0.5
+                return bilinear_gather(eff, u[..., 0] * w, u[..., 1] * h)
+        else:
+            def flow_force_fn(pos_screen):
+                u = pos_screen * 0.5 + 0.5
+                return sample.bilinear_sample(eff, u[..., 0] * w,
+                                              u[..., 1] * h)
+
+    new_particles = logic.step_particles(
+        sim.particles, None, sim.targets, params, uv, index01,
+        view_size, time, dt, flow_force_fn=flow_force_fn)
+    return dataclasses.replace(sim, particles=new_particles,
+                               previous=sim.particles, force=None)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh"),
                    donate_argnums=(0,))
 def spatial_frame(sim, params, time, dt, cfg: EngineConfig, view_size,
@@ -78,35 +125,27 @@ def spatial_frame(sim, params, time, dt, cfg: EngineConfig, view_size,
     """One step+draw frame with row-slab grids (see module docstring).
 
     Constraints: `flow_res == view_res`, H divisible by the mesh size,
-    one view buffer, one flow LOD (the slab all-gather covers level 0)."""
+    one view buffer, one flow LOD (the slab all-gather covers level 0).
+
+    On the fused Pallas path the frame CARRIES each shard's flow force
+    (`_slab_carry`): the draw's segment sort emits the gather aux stream,
+    the 2-channel eff all-gather moves from step time to the draw tail
+    (same ICI bytes), and later steps pay no gather sort at all."""
     n_dev = mesh.devices.size
     h, w = cfg.view_res
     assert cfg.flow_shape == cfg.view_res, "slab mode shares one grid shape"
     assert h % n_dev == 0, f"H={h} not divisible by {n_dev} devices"
     assert cfg.num_view_buffers == 1 and cfg.flow_levels == 1
 
-    specs = _sim_specs()
+    carry = _slab_carry(cfg)
+    in_specs = _sim_specs(force=sim.force is not None)
+    out_specs = _sim_specs(force=carry)
 
     def body(sim, params, time, dt, view_size):
-        # --- step (ref src/index.js:248-272): pre-decayed flow force from
-        # the all-gathered 2-channel effective velocity.
-        eff_local = sim.flow[:2] * jnp.maximum(
-            0.0, 1.0 - (time - sim.flow[2]) * params["flowDecay"])[None]
-        eff = jax.lax.all_gather(eff_local, AXIS, axis=1, tiled=True)
-
-        uv, index01, colormap_uv = state_mod.particle_coords_from_idx(
+        # --- step (ref src/index.js:248-272).
+        sim = _slab_step(sim, params, time, dt, cfg, view_size)
+        _, _, colormap_uv = state_mod.particle_coords_from_idx(
             sim.idx, cfg.root_num)
-
-        def flow_force_fn(pos_screen):
-            u = pos_screen * 0.5 + 0.5
-            return sample.bilinear_sample(eff, u[..., 0] * w,
-                                          u[..., 1] * h)
-
-        new_particles = logic.step_particles(
-            sim.particles, None, sim.targets, params, uv, index01,
-            view_size, time, dt, flow_force_fn=flow_force_fn)
-        sim = dataclasses.replace(sim, particles=new_particles,
-                                  previous=sim.particles)
 
         # --- draw (ref src/index.js:278-340), slab-resolved.
         from ..const import INERT
@@ -142,14 +181,19 @@ def spatial_frame(sim, params, time, dt, cfg: EngineConfig, view_size,
             # Fused Pallas accumulate (one sort + one splat kernel for both
             # passes, the single-chip fast path) — full-grid partials per
             # shard, reduce-scattered to this shard's slab (VERDICT r2
-            # item 6).
+            # item 6). With the carry path, the same segment sort emits the
+            # flow-gather aux stream for the next step's force.
             from ..ops.draw_pallas import (_widen_excess,
                                            fused_draw_accumulate)
+            from ..engine import force_from_aux
             mapped = sample.sample_uv(sim.color_map, colormap_uv.T) \
                 * params["colorMapAlpha"]
-            fp, vp = fused_draw_accumulate(
+            n_local = sim.particles.shape[1]
+            out = fused_draw_accumulate(
                 (h, w), p0, p1, vel, pos, mapped, live,
                 params["speedLimit"], time, samples=cfg.view_samples,
+                idx=(jnp.arange(n_local, dtype=jnp.int32) if carry
+                     else None),
                 flow_width=params["flowWidth"],
                 line_width=params["lineWidth"],
                 speed_alpha=params["speedAlpha"],
@@ -157,14 +201,29 @@ def spatial_frame(sim, params, time, dt, cfg: EngineConfig, view_size,
                 flow_decay=params["flowDecay"],
                 base_color=params["baseColor"],
                 flow_color=params["flowColor"])
+            fp, vp = out[:2]
             # Width excess blurs cross slab rows — apply on the full
             # partials (linear, commutes with the psum) before scattering.
             flow_parts = scatter_rows(_widen_excess(fp, params["flowWidth"]))
             view_parts = scatter_rows(_widen_excess(vp, params["lineWidth"]))
             new_flow = splat_ops.composite_over(sim.flow, *flow_parts)
             view0 = splat_ops.composite_over(view0, *view_parts)
-            return dataclasses.replace(sim, flow=new_flow,
-                                       view=sim.view.at[0].set(view0))
+            sim = dataclasses.replace(sim, flow=new_flow,
+                                      view=sim.view.at[0].set(view0))
+            if carry:
+                # Next step's force NOW (the step-time all-gather moves
+                # here — same ICI bytes/frame — and the draw sort already
+                # binned the stream, so no gather sort remains anywhere).
+                read_time = time + dt
+                eff_local = new_flow[:2] * jnp.maximum(
+                    0.0, 1.0 - (read_time - new_flow[2])
+                    * params["flowDecay"])[None]
+                eff = jax.lax.all_gather(eff_local, AXIS, axis=1,
+                                         tiled=True)
+                force = force_from_aux(None, out[2], params, read_time,
+                                       cfg, n=n_local, eff=eff)
+                sim = dataclasses.replace(sim, force=force)
+            return sim
 
         # Generic XLA backend: two separate passes.
         payload = flow_ops.flow_payload(vel, time, params["speedLimit"])
@@ -187,8 +246,8 @@ def spatial_frame(sim, params, time, dt, cfg: EngineConfig, view_size,
 
     fn = shard_map(
         body, mesh=mesh,
-        in_specs=(specs, P(), P(), P(), P()),
-        out_specs=specs,
+        in_specs=(in_specs, P(), P(), P(), P()),
+        out_specs=out_specs,
         check_vma=False)
     return fn(sim, params, time, dt, view_size)
 
@@ -208,6 +267,7 @@ class SpatialTendrils:
     def frame(self):
         eng = self.engine
         eng.timer.tick()
+        eng._check_force_params()
         if eng.timer.paused:
             return self
         eng.sim = spatial_frame(

@@ -11,6 +11,10 @@ from tendrils_tpu import EngineConfig, Tendrils
 from tendrils_tpu.engine import carry_enabled
 from tendrils_tpu.ops import spawn
 
+import pytest
+
+pytestmark = pytest.mark.kernel  # Pallas-kernel set (see pytest.ini)
+
 
 def make(carry, frames=6, root=32):
     eng = Tendrils(EngineConfig(

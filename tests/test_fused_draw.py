@@ -13,6 +13,10 @@ from tendrils_tpu import EngineConfig, Tendrils
 from tendrils_tpu.engine import draw_sim, step_sim
 from tendrils_tpu.ops import spawn
 
+import pytest
+
+pytestmark = pytest.mark.kernel  # Pallas-kernel set (see pytest.ini)
+
 
 def make_engine(fused, backend="pallas"):
     cfg = EngineConfig(root_num=16, view_res=(32, 128), flow_samples=2,

@@ -6,6 +6,10 @@ import numpy as np
 from tendrils_tpu.ops import sample
 from tendrils_tpu.ops.gather_pallas import bilinear_gather
 
+import pytest
+
+pytestmark = pytest.mark.kernel  # Pallas-kernel set (see pytest.ini)
+
 
 def test_matches_bilinear_oracle():
     rng = np.random.default_rng(0)
@@ -110,3 +114,82 @@ def test_keyed_gather_q15_pack():
     d0 = np.abs((np.asarray(out).astype(np.int64) & HALF) - (ref & HALF))
     d1 = np.abs((np.asarray(out).astype(np.int64) >> 15) - (ref >> 15))
     assert d0.max() <= 1 and d1.max() <= 1
+
+
+def _recon_streams(m, h, w, seed=29):
+    """Draw-convention sorted streams for the resident recon tests: packed
+    p1 + tile keys + exact position rides + the q15 velocity/live word."""
+    import jax
+
+    from tendrils_tpu.ops.draw_pallas import pos_scale_for
+    from tendrils_tpu.ops.tile_geom import (HALF, PAD_LO_H, PAD_LO_W,
+                                            TILE_H, TILE_W, pad_dims)
+
+    rng = np.random.default_rng(seed)
+    _, wp = pad_dims(h, w)
+    tiles_x = wp // TILE_W
+    pscale = pos_scale_for((h, w))
+    grid = jnp.asarray(rng.uniform(-2, 2, (2, h, w)), jnp.float32)
+    xs = jnp.asarray(rng.uniform(0.6, w - 0.6, m) + PAD_LO_W, jnp.float32)
+    ys = jnp.asarray(rng.uniform(0.6, h - 0.6, m) + PAD_LO_H, jnp.float32)
+    p1 = (jnp.round(ys * pscale).astype(jnp.int32) * (HALF + 1)
+          + jnp.round(xs * pscale).astype(jnp.int32))
+    xq = (p1 & HALF).astype(jnp.float32) / pscale
+    yq = (p1 >> 15).astype(jnp.float32) / pscale
+    key = ((jnp.floor(yq - 0.5).astype(jnp.int32) // TILE_H) * tiles_x
+           + (jnp.floor(xq - 0.5).astype(jnp.int32) // TILE_W))
+    npx = jnp.asarray(rng.uniform(-1, 1, m), jnp.float32)
+    npy = jnp.asarray(rng.uniform(-1, 1, m), jnp.float32)
+    # Some inert rows exercise the alive test; live bit 30 + q15 fields.
+    from tendrils_tpu.const import INERT
+    inert = rng.uniform(size=m) < 0.1
+    npx = jnp.where(jnp.asarray(inert), jnp.float32(INERT), npx)
+    npy = jnp.where(jnp.asarray(inert), jnp.float32(INERT), npy)
+    vl = jnp.asarray(
+        rng.integers(0, 2, m) * (2 ** 30)
+        + rng.integers(0, HALF + 1, m) * (HALF + 1)
+        + rng.integers(0, HALF + 1, m), jnp.int32)
+    tx = jnp.asarray(rng.uniform(-1, 1, m), jnp.float32)
+    ty = jnp.asarray(rng.uniform(-1, 1, m), jnp.float32)
+    key, p1, npx, npy, vl, tx, ty = jax.lax.sort(
+        [key, p1] + [jax.lax.bitcast_convert_type(v, jnp.int32)
+                     for v in (npx, npy)] + [vl]
+        + [jax.lax.bitcast_convert_type(v, jnp.int32) for v in (tx, ty)],
+        num_keys=1)
+    npx, npy, tx, ty = (jax.lax.bitcast_convert_type(v, jnp.float32)
+                        for v in (npx, npy, tx, ty))
+    return grid, p1, key, npx, npy, vl, tx, ty, pscale
+
+
+def test_gather_reconstruct_p1_matches_composition():
+    """`gather_reconstruct_p1` (fused keyed gather + state reassembly) must
+    match the two-kernel composition `bilinear_gather_keyed_p1` +
+    `reconstruct_resident` bitwise — targets and no-targets, including a
+    non-BLOCK-multiple length whose padded tail must slice away
+    (ADVICE r3)."""
+    from tendrils_tpu.ops.draw_pallas import reconstruct_resident
+    from tendrils_tpu.ops.gather_pallas import (bilinear_gather_keyed_p1,
+                                                gather_reconstruct_p1)
+
+    h, w = 64, 256
+    sl = 1.3
+    for m, targets in ((4096, True), (3000, False), (3000, True)):
+        grid, p1, key, npx, npy, vl, tx, ty, pscale = _recon_streams(m, h, w)
+        targs = (tx, ty) if targets else (None, None)
+
+        fused = gather_reconstruct_p1(grid, p1, key, npx, npy, vl,
+                                      jnp.float32(sl), *targs,
+                                      inv_p=1.0 / pscale, interpret=True)
+        force_ref = bilinear_gather_keyed_p1(grid, p1, key,
+                                             inv_p=1.0 / pscale,
+                                             interpret=True)
+        rec_ref = reconstruct_resident(npx, npy, vl, jnp.float32(sl),
+                                       *targs, interpret=True)
+
+        np.testing.assert_array_equal(np.asarray(fused[0])[:, :m],
+                                      np.asarray(force_ref)[:, :m])
+        names = ["particles", "previous"] + (["targets"] if targets else [])
+        for i, name in enumerate(names):
+            np.testing.assert_array_equal(
+                np.asarray(fused[1 + i])[:, :m],
+                np.asarray(rec_ref[i])[:, :m], err_msg=f"{name} m={m}")

@@ -14,6 +14,10 @@ from tendrils_tpu.ops.draw_pallas import (N_CHAN, _widen_excess,
 from tendrils_tpu.ops.splat import composite_over
 from tendrils_tpu.ops.tile_geom import PAD_LO_H, PAD_LO_W, pad_dims
 
+import pytest
+
+pytestmark = pytest.mark.kernel  # Pallas-kernel set (see pytest.ini)
+
 
 def _random_case(seed, h, w):
     rng = np.random.default_rng(seed)

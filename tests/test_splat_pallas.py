@@ -9,6 +9,10 @@ import pytest
 from tendrils_tpu.ops import splat
 from tendrils_tpu.ops.splat_pallas import splat_accumulate
 
+import pytest
+
+pytestmark = pytest.mark.kernel  # Pallas-kernel set (see pytest.ini)
+
 
 def _compare(grid_hw, m, seed=0, spread=1.0):
     rng = np.random.default_rng(seed)
