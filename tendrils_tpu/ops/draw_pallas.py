@@ -359,49 +359,68 @@ def _kernel(scal_ref, keym_ref, *rest, tiles_x, pscale, samples, h, w,
         ty = t // tiles_x
         row0 = ty * TILE_H
         col0 = (t - ty * tiles_x) * TILE_W
-        for s in range(samples):
-            for wi in range(n_win):
-                sl = slice(wi * win, (wi + 1) * win)
+        for wi in range(n_win):
+            sl = slice(wi * win, (wi + 1) * win)
+            # One gate + ONE matmul per window with the samples MERGED
+            # into the contraction axis (K = samples·win): the additive
+            # accumulation sums over samples inside the dot, so fewer,
+            # bigger MXU ops replace per-sample ones, and the gate/build
+            # overhead stops scaling with `samples`. Samples inherit their
+            # segment's key, so their window ranges are near-identical —
+            # the merged (min, max) gate stays tight.
+            lo_any = wlo[0][wi]
+            hi_any = whi[0][wi]
+            for s in range(1, samples):
+                lo_any = jnp.minimum(lo_any, wlo[s][wi])
+                hi_any = jnp.maximum(hi_any, whi[s][wi])
 
-                @pl.when((wlo[s][wi] <= t) & (whi[s][wi] >= t))
-                def _(s=s, wi=wi, sl=sl):
-                    livew = (keys[s][sl] == t).astype(jnp.float32)
-                    gyl = gys[s][sl] - row0  # continuous, region-relative
-                    gxl = gxs[s][sl] - col0
+            @pl.when((lo_any <= t) & (hi_any >= t))
+            def _(wi=wi, sl=sl):
+                livews = [(keys[s][sl] == t).astype(jnp.float32)
+                          for s in range(samples)]
+                gyls = [gys[s][sl] - row0 for s in range(samples)]
+                gxls = [gxs[s][sl] - col0 for s in range(samples)]
 
-                    # Box-overlap weight builds. A/X in bf16: channel
-                    # magnitudes are O(1), so the ~0.4% rounding is far
-                    # below the splat's own quantisation; the MXU runs
-                    # bf16 x bf16 -> f32 at full rate.
-                    rows = jax.lax.broadcasted_iota(
-                        jnp.int32, (REGION_H, win), 0).astype(jnp.float32)
-                    cols = jax.lax.broadcasted_iota(
-                        jnp.int32, (win, REGION_W), 1).astype(jnp.float32)
+                # Box-overlap weight builds. A/X in bf16: channel
+                # magnitudes are O(1), so the ~0.4% rounding is far
+                # below the splat's own quantisation; the MXU runs
+                # bf16 x bf16 -> f32 at full rate.
+                rows = jax.lax.broadcasted_iota(
+                    jnp.int32, (REGION_H, win), 0).astype(jnp.float32)
+                cols = jax.lax.broadcasted_iota(
+                    jnp.int32, (win, REGION_W), 1).astype(jnp.float32)
 
-                    def cover(idx, centre, hw):
-                        lo = centre + (0.5 - hw)
-                        hi = centre + (0.5 + hw)
-                        return jnp.clip(jnp.minimum(idx + 1.0, hi)
-                                        - jnp.maximum(idx, lo), 0.0, 1.0)
+                def cover(idx, centre, hw):
+                    lo = centre + (0.5 - hw)
+                    hi = centre + (0.5 + hw)
+                    return jnp.clip(jnp.minimum(idx + 1.0, hi)
+                                    - jnp.maximum(idx, lo), 0.0, 1.0)
 
-                    def group(ch_lo, ch_hi, hw, inv_w, reg_lo, reg_hi):
-                        a_rows = cover(rows, gyl[None, :], hw) \
-                            * (livew * inv_w)[None, :]
-                        a_mat = jnp.concatenate(
-                            [a_rows * chans[s][ch][sl][None, :]
-                             for ch in range(ch_lo, ch_hi)],
-                            axis=0).astype(jnp.bfloat16)
-                        x_mat = cover(cols, gxl[:, None],
-                                      hw).astype(jnp.bfloat16)
-                        contrib = jnp.dot(
-                            a_mat, x_mat,
-                            preferred_element_type=jnp.float32)
-                        reg[reg_lo:reg_hi] = reg[reg_lo:reg_hi] \
-                            + contrib.reshape(ch_hi - ch_lo, REGION_H,
-                                              REGION_W)
+                def group(ch_lo, ch_hi, hw, inv_w, reg_lo, reg_hi):
+                    a_rows = [cover(rows, gyls[s][None, :], hw)
+                              * (livews[s] * inv_w)[None, :]
+                              for s in range(samples)]
+                    # [chs·H, samples·win]: channels stack on rows,
+                    # samples concatenate along K.
+                    a_mat = jnp.concatenate(
+                        [jnp.concatenate(
+                            [a_rows[s] * chans[s][ch][sl][None, :]
+                             for s in range(samples)], axis=1)
+                         for ch in range(ch_lo, ch_hi)],
+                        axis=0).astype(jnp.bfloat16)
+                    x_mat = jnp.concatenate(
+                        [cover(cols, gxls[s][:, None], hw)
+                         for s in range(samples)],
+                        axis=0).astype(jnp.bfloat16)
+                    contrib = jnp.dot(
+                        a_mat, x_mat,
+                        preferred_element_type=jnp.float32)
+                    reg[reg_lo:reg_hi] = reg[reg_lo:reg_hi] \
+                        + contrib.reshape(ch_hi - ch_lo, REGION_H,
+                                          REGION_W)
 
-                    group(0, N_FLOW, hw_f, inv_wf, 0, N_FLOW)
-                    group(N_FLOW, N_CHAN, hw_v, inv_wv, N_FLOW, N_CHAN)
+                group(0, N_FLOW, hw_f, inv_wf, 0, N_FLOW)
+                group(N_FLOW, N_CHAN, hw_v, inv_wv, N_FLOW, N_CHAN)
 
     # Four parity passes; within each, prefetch the next region while the
     # current one computes (disjoint by construction).
