@@ -1,8 +1,8 @@
 """One timed scan of the bench config; variant picked by env vars (read
-at import time): TT_DERIVE=1 (derive_p0+in-kernel colours on the classic
-path), TT_RESIDENT=1 (resident-stream engine), TT_FR=0/1 (fused Pallas
-resolve). Used for the round-3 regression bisect and default decisions —
-see BENCHMARKS.md."""
+at import time): TT_RESIDENT=1 (resident-stream engine), TT_FR=0/1 (fused
+Pallas resolve). Used for the round-3 regression bisect and default
+decisions — see BENCHMARKS.md. (TT_DERIVE was measured 2026-08-19 —
+classic derive 14.94 ms vs resident 13.63 ms — and deleted.)"""
 import dataclasses
 import os
 import sys
@@ -21,6 +21,8 @@ def main():
     res = os.environ.get("TT_RESIDENT", "")
     if res:  # "1" opts in, "0" forces the classic carry path
         kw["resident_stream"] = res == "1"
+    if os.environ.get("TT_FUSE", "") == "0":  # disable the fused step+pack
+        kw["fused_step_max_n"] = 0
     root = int(os.environ.get("TT_ROOT", 1024))
     h, w = (int(v) for v in
             os.environ.get("TT_RES", "1080x1920").split("x"))

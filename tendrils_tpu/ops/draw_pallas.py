@@ -106,6 +106,14 @@ _BIG = 2 ** 30  # sentinel key (plain int: jnp constants can't be captured
 # ledger). TT_SORT_CHUNKS: 0 = auto policy, else an explicit chunk count.
 SORT_CHUNKS = int(os.environ.get("TT_SORT_CHUNKS", "0"))
 
+# Splat window matmul shape: 1 = merge the samples into the contraction
+# axis (ONE [chs·H, samples·win]×[samples·win, W] dot per window — fewer,
+# bigger MXU ops; gate/build overhead independent of `samples`), 0 = one
+# dot per sample (K = win). Read at trace time, like SORT_CHUNKS; exists
+# because config 5 (16M/4K) regressed ~70 ms across the commit window that
+# introduced the merge (BENCHMARKS.md round-4 battery B) — the A/B decides.
+SPLAT_MERGE_K = os.environ.get("TT_SPLAT_MERGE", "1") == "1"
+
 
 def _sort_chunks(n_pad, seg_block):
     """Resolve the segment-sort chunk count: the largest divisor of the
@@ -113,9 +121,13 @@ def _sort_chunks(n_pad, seg_block):
     splat block stays inside one chunk."""
     want = SORT_CHUNKS
     if want == 0:
-        # Auto: flat sort below 4M rows (chunking's extra region visits
-        # outweigh the sort saving at small N); ~2M-row chunks above.
-        want = 1 if n_pad < (1 << 22) else n_pad // (1 << 21)
+        # Auto: FLAT sort at every N. Chunking cuts the sort itself 2.5x
+        # at 8M+ rows (BENCHMARKS.md round-4 battery B) but each chunk
+        # spans the whole grid, so splat region-DMA visits rise toward C×
+        # and eat the saving: scan-timed 16.7M/4K engine frames measure a
+        # WASH (288-291 ms for flat through C=256, battery C) and banded
+        # pre-sorting loses ~10 ms — keep the simplest policy.
+        want = 1
     blocks = n_pad // seg_block
     c = max(1, min(want, blocks))
     while blocks % c:
@@ -359,68 +371,96 @@ def _kernel(scal_ref, keym_ref, *rest, tiles_x, pscale, samples, h, w,
         ty = t // tiles_x
         row0 = ty * TILE_H
         col0 = (t - ty * tiles_x) * TILE_W
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (REGION_H, win), 0).astype(jnp.float32)
+        cols = jax.lax.broadcasted_iota(
+            jnp.int32, (win, REGION_W), 1).astype(jnp.float32)
+
+        def cover(idx, centre, hw):
+            lo = centre + (0.5 - hw)
+            hi = centre + (0.5 + hw)
+            return jnp.clip(jnp.minimum(idx + 1.0, hi)
+                            - jnp.maximum(idx, lo), 0.0, 1.0)
+
+        # Box-overlap weight builds. A/X in bf16: channel magnitudes are
+        # O(1), so the ~0.4% rounding is far below the splat's own
+        # quantisation; the MXU runs bf16 x bf16 -> f32 at full rate.
         for wi in range(n_win):
             sl = slice(wi * win, (wi + 1) * win)
-            # One gate + ONE matmul per window with the samples MERGED
-            # into the contraction axis (K = samples·win): the additive
-            # accumulation sums over samples inside the dot, so fewer,
-            # bigger MXU ops replace per-sample ones, and the gate/build
-            # overhead stops scaling with `samples`. Samples inherit their
-            # segment's key, so their window ranges are near-identical —
-            # the merged (min, max) gate stays tight.
-            lo_any = wlo[0][wi]
-            hi_any = whi[0][wi]
-            for s in range(1, samples):
-                lo_any = jnp.minimum(lo_any, wlo[s][wi])
-                hi_any = jnp.maximum(hi_any, whi[s][wi])
+            if SPLAT_MERGE_K:
+                # One gate + ONE matmul per window with the samples MERGED
+                # into the contraction axis (K = samples·win): the additive
+                # accumulation sums over samples inside the dot, so fewer,
+                # bigger MXU ops replace per-sample ones, and the
+                # gate/build overhead stops scaling with `samples`. Samples
+                # inherit their segment's key, so their window ranges are
+                # near-identical — the merged (min, max) gate stays tight.
+                lo_any = wlo[0][wi]
+                hi_any = whi[0][wi]
+                for s in range(1, samples):
+                    lo_any = jnp.minimum(lo_any, wlo[s][wi])
+                    hi_any = jnp.maximum(hi_any, whi[s][wi])
 
-            @pl.when((lo_any <= t) & (hi_any >= t))
-            def _(wi=wi, sl=sl):
-                livews = [(keys[s][sl] == t).astype(jnp.float32)
-                          for s in range(samples)]
-                gyls = [gys[s][sl] - row0 for s in range(samples)]
-                gxls = [gxs[s][sl] - col0 for s in range(samples)]
-
-                # Box-overlap weight builds. A/X in bf16: channel
-                # magnitudes are O(1), so the ~0.4% rounding is far
-                # below the splat's own quantisation; the MXU runs
-                # bf16 x bf16 -> f32 at full rate.
-                rows = jax.lax.broadcasted_iota(
-                    jnp.int32, (REGION_H, win), 0).astype(jnp.float32)
-                cols = jax.lax.broadcasted_iota(
-                    jnp.int32, (win, REGION_W), 1).astype(jnp.float32)
-
-                def cover(idx, centre, hw):
-                    lo = centre + (0.5 - hw)
-                    hi = centre + (0.5 + hw)
-                    return jnp.clip(jnp.minimum(idx + 1.0, hi)
-                                    - jnp.maximum(idx, lo), 0.0, 1.0)
-
-                def group(ch_lo, ch_hi, hw, inv_w, reg_lo, reg_hi):
-                    a_rows = [cover(rows, gyls[s][None, :], hw)
-                              * (livews[s] * inv_w)[None, :]
+                @pl.when((lo_any <= t) & (hi_any >= t))
+                def _(wi=wi, sl=sl):
+                    livews = [(keys[s][sl] == t).astype(jnp.float32)
                               for s in range(samples)]
-                    # [chs·H, samples·win]: channels stack on rows,
-                    # samples concatenate along K.
-                    a_mat = jnp.concatenate(
-                        [jnp.concatenate(
-                            [a_rows[s] * chans[s][ch][sl][None, :]
-                             for s in range(samples)], axis=1)
-                         for ch in range(ch_lo, ch_hi)],
-                        axis=0).astype(jnp.bfloat16)
-                    x_mat = jnp.concatenate(
-                        [cover(cols, gxls[s][:, None], hw)
-                         for s in range(samples)],
-                        axis=0).astype(jnp.bfloat16)
-                    contrib = jnp.dot(
-                        a_mat, x_mat,
-                        preferred_element_type=jnp.float32)
-                    reg[reg_lo:reg_hi] = reg[reg_lo:reg_hi] \
-                        + contrib.reshape(ch_hi - ch_lo, REGION_H,
-                                          REGION_W)
+                    gyls = [gys[s][sl] - row0 for s in range(samples)]
+                    gxls = [gxs[s][sl] - col0 for s in range(samples)]
 
-                group(0, N_FLOW, hw_f, inv_wf, 0, N_FLOW)
-                group(N_FLOW, N_CHAN, hw_v, inv_wv, N_FLOW, N_CHAN)
+                    def group(ch_lo, ch_hi, hw, inv_w, reg_lo, reg_hi):
+                        a_rows = [cover(rows, gyls[s][None, :], hw)
+                                  * (livews[s] * inv_w)[None, :]
+                                  for s in range(samples)]
+                        # [chs·H, samples·win]: channels stack on rows,
+                        # samples concatenate along K.
+                        a_mat = jnp.concatenate(
+                            [jnp.concatenate(
+                                [a_rows[s] * chans[s][ch][sl][None, :]
+                                 for s in range(samples)], axis=1)
+                             for ch in range(ch_lo, ch_hi)],
+                            axis=0).astype(jnp.bfloat16)
+                        x_mat = jnp.concatenate(
+                            [cover(cols, gxls[s][:, None], hw)
+                             for s in range(samples)],
+                            axis=0).astype(jnp.bfloat16)
+                        contrib = jnp.dot(
+                            a_mat, x_mat,
+                            preferred_element_type=jnp.float32)
+                        reg[reg_lo:reg_hi] = reg[reg_lo:reg_hi] \
+                            + contrib.reshape(ch_hi - ch_lo, REGION_H,
+                                              REGION_W)
+
+                    group(0, N_FLOW, hw_f, inv_wf, 0, N_FLOW)
+                    group(N_FLOW, N_CHAN, hw_v, inv_wv, N_FLOW, N_CHAN)
+                continue
+            # Per-sample variant (K = win): one gate + dot per (sample,
+            # window).
+            for s in range(samples):
+                @pl.when((wlo[s][wi] <= t) & (whi[s][wi] >= t))
+                def _(s=s, wi=wi, sl=sl):
+                    livew = (keys[s][sl] == t).astype(jnp.float32)
+                    gyl = gys[s][sl] - row0
+                    gxl = gxs[s][sl] - col0
+
+                    def group(ch_lo, ch_hi, hw, inv_w, reg_lo, reg_hi):
+                        a_rows = cover(rows, gyl[None, :], hw) \
+                            * (livew * inv_w)[None, :]
+                        a_mat = jnp.concatenate(
+                            [a_rows * chans[s][ch][sl][None, :]
+                             for ch in range(ch_lo, ch_hi)],
+                            axis=0).astype(jnp.bfloat16)
+                        x_mat = cover(cols, gxl[:, None],
+                                      hw).astype(jnp.bfloat16)
+                        contrib = jnp.dot(
+                            a_mat, x_mat,
+                            preferred_element_type=jnp.float32)
+                        reg[reg_lo:reg_hi] = reg[reg_lo:reg_hi] \
+                            + contrib.reshape(ch_hi - ch_lo, REGION_H,
+                                              REGION_W)
+
+                    group(0, N_FLOW, hw_f, inv_wf, 0, N_FLOW)
+                    group(N_FLOW, N_CHAN, hw_v, inv_wv, N_FLOW, N_CHAN)
 
     # Four parity passes; within each, prefetch the next region while the
     # current one computes (disjoint by construction).
@@ -699,6 +739,125 @@ def _pack_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
                emit_rgba=emit_rgba, key_recon=not emit_p0)
 
 
+def _step_pack_kernel(scal_ref, scal2_ref, px_ref, py_ref, vx_ref, vy_ref,
+                      tx_ref, ty_ref, fx_ref, fy_ref, idx_ref, *refs,
+                      tiles_x, pscale, h, w, gather, root, n):
+    """FUSED logic step + segment pack (small-N resident fast path): one
+    VPU pass runs the particle update (`src/logic.frag:45-101` — simplex
+    wander + CARRIED flow force + target seek, damping, speed clamp, Euler,
+    inert mask) and immediately packs the prev→new segment streams, so the
+    step never materialises to HBM as a separate XLA chain. At the launch
+    -floor configs (65k particles: step ≈ 0.52 ms of a 1.53 ms frame,
+    `scripts/perf_c1_breakdown.py`) the saved launches far outweigh the
+    in-kernel simplex cost that made the same fusion LOSE at 1M in round 2
+    (+2 ms there ⇒ ~+0.13 ms here; BENCHMARKS.md).
+
+    Resident/scalar-colour only: emits keym[, gidx], p1, vl (key_recon
+    keys, no p0/rgba operands) plus the exact new-position ride streams
+    `npx, npy` — the caller feeds those straight into the segment sort as
+    the resident ride.
+
+    scal: the draw's [1, 32] (slot 0 speedLimit, 1 time, 30/31 viewSize —
+    `_pack_core` reads it). scal2 f32[1, 16] step params: [0] dt,
+    [1] damping, [2] forceWeight, [3] varyForce, [4] flowWeight,
+    [5] varyFlow, [6] noiseWeight, [7] varyNoise, [8] noiseScale,
+    [9] varyNoiseScale, [10] noiseSpeed, [11] varyNoiseSpeed, [12] target,
+    [13] varyTarget. `n`: real row count — pad rows (idx >= n) emit
+    bottom-right-clipped dead segments exactly like the XLA path's
+    padding, so they sort last."""
+    assert gather, "fused step always carries the gather/id stream"
+    refs = list(refs)
+    keym_ref = refs.pop(0)
+    p1_ref = refs.pop(0)
+    vl_ref = refs.pop(0)
+    grefs = [refs.pop(0)] if gather == 2 else []
+    npx_ref, npy_ref = refs
+
+    time = scal_ref[0, 1]
+    vsx = scal_ref[0, 30]
+    vsy = scal_ref[0, 31]
+    speed_limit = scal_ref[0, 0]
+    dt = scal2_ref[0, 0]
+
+    px = px_ref[:]
+    py = py_ref[:]
+    vx = vx_ref[:]
+    vy = vy_ref[:]
+    idx = idx_ref[:]
+    alive = (px != INERT) | (py != INERT)
+    is_pad = idx >= n
+
+    # Per-particle constants from ORIGINAL ids
+    # (state.particle_coords_from_idx).
+    idxf = idx.astype(jnp.float32)
+    ix = idxf - jnp.floor(idxf / root) * root
+    iy = jnp.floor(idxf / root)
+    uv0 = (ix + 0.5) / root
+    uv1 = (iy + 0.5) / root
+    index01 = ((ix + 0.5) + (iy + 0.5) * root) / (root * root)
+
+    def vary(slot_base, slot_var):
+        b = scal2_ref[0, slot_base]
+        return b + index01 * scal2_ref[0, slot_var] * b
+
+    # Wander force (ops/logic.wander_force).
+    noise_scale = vary(8, 9)
+    noise_speed = vary(10, 11)
+    ntime = time * noise_speed
+    wander_x = snoise3_xyz(px * noise_scale, py * noise_scale, uv0 + ntime)
+    wander_y = snoise3_xyz(px * noise_scale, py * noise_scale,
+                           uv1 + ntime + 1234.5678)
+
+    force_w = vary(2, 3)
+    flow_w = vary(4, 5)
+    noise_w = vary(6, 7)
+    damping = scal2_ref[0, 1]
+
+    nvx = (vx * damping * dt
+           + force_w * (fx_ref[:] * dt * flow_w + wander_x * dt * noise_w))
+    nvy = (vy * damping * dt
+           + force_w * (fy_ref[:] * dt * flow_w + wander_y * dt * noise_w))
+
+    # Target seek (src/logic.frag:85).
+    target_w = vary(12, 13)
+    nvx = nvx + (tx_ref[:] - px) * target_w
+    nvy = nvy + (ty_ref[:] - py) * target_w
+
+    # Speed clamp (src/logic.frag:92-94; 0/0 guarded like ops/logic).
+    speed = jnp.sqrt(nvx * nvx + nvy * nvy)
+    scale = jnp.minimum(speed, speed_limit) / jnp.maximum(speed, 1e-12)
+    nvx = nvx * scale
+    nvy = nvy * scale
+
+    npx = jnp.where(alive, px + nvx, px)
+    npy = jnp.where(alive, py + nvy, py)
+    nvx = jnp.where(alive, nvx, vx)
+    nvy = jnp.where(alive, nvy, vy)
+
+    # prev→new segment in window pixels; pad rows clip to the far corner
+    # (exactly the XLA path's `w + 64` padding) so they sort LAST.
+    far = jnp.float32(w + 64.0)
+
+    def to_pix(x, y):
+        return ((x * vsx * 0.5 + 0.5) * w, (y * vsy * 0.5 + 0.5) * h)
+
+    p0x, p0y = to_pix(px, py)
+    p1x, p1y = to_pix(npx, npy)
+    p0x = jnp.where(is_pad, far, p0x)
+    p0y = jnp.where(is_pad, far, p0y)
+    p1x = jnp.where(is_pad, far, p1x)
+    p1y = jnp.where(is_pad, far, p1y)
+    live = (alive & ~is_pad).astype(jnp.float32)
+
+    _pack_core(scal_ref, p0x, p0y, p1x, p1y, nvx, nvy, live, live,
+               live, live, live, live, live, idx,
+               keym_ref, None, p1_ref, vl_ref, None, grefs,
+               tiles_x=tiles_x, pscale=pscale, h=h, w=w, gather=gather,
+               emit_rgba=False, key_recon=True)
+    npx_ref[:] = npx
+    npy_ref[:] = npy
+
+
 def _bin_and_splat(scal, outs, gather, time, *, tiles_x, pscale,
                    samples, h, w, hp, wp, n_pad, interpret, ride=None,
                    derive_p0=False, scalar_color=False, raw_accum=False,
@@ -858,10 +1017,11 @@ def pos_scale_for(grid_hw):
 @functools.partial(jax.jit, static_argnames=("grid_hw", "samples",
                                              "interpret",
                                              "derive_p0", "raw_accum",
-                                             "idx_bound"))
+                                             "idx_bound", "step_root"))
 def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
                           live, speed_limit, time, *, idx=None, ride=None,
-                          idx_bound=None, samples=2,
+                          step_fuse=None, step_root=None, idx_bound=None,
+                          samples=2,
                           interpret=None, flow_width=1.0,
                           line_width=1.0, speed_alpha=1.0, sin_decay=0.0,
                           flow_decay=0.0, base_color=None, flow_color=None,
@@ -920,23 +1080,36 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
     # Pad segments to a block multiple (no-op for root_num >= 64). Pack and
     # expand run on PACK_SEG-segment grid steps when the input is big enough
     # (grid-step overhead), which the splat's BLOCK divides evenly.
-    n = p0_pix.shape[0]
+    n = (p0_pix.shape[0] if step_fuse is None
+         else step_fuse["particles"].shape[1])
     seg_block = BLOCK // samples
     if n >= PACK_SEG and PACK_SEG % seg_block == 0:
         seg_block = PACK_SEG
     n_pad = (n + seg_block - 1) // seg_block * seg_block
     if n_pad != n:
         pad = n_pad - n
-        p0_pix = jnp.pad(p0_pix, ((0, pad), (0, 0)),
-                         constant_values=w + 64.0)
-        p1_pix = jnp.pad(p1_pix, ((0, pad), (0, 0)),
-                         constant_values=w + 64.0)
-        vel = jnp.pad(vel, ((0, 0), (0, pad)))
-        if pos_ndc is not None:
-            pos_ndc = jnp.pad(pos_ndc, ((0, 0), (0, pad)))
-        if mapped is not None:
-            mapped = jnp.pad(mapped, ((0, 0), (0, pad)))
-        live = jnp.pad(live, (0, pad))
+        if step_fuse is None:
+            p0_pix = jnp.pad(p0_pix, ((0, pad), (0, 0)),
+                             constant_values=w + 64.0)
+            p1_pix = jnp.pad(p1_pix, ((0, pad), (0, 0)),
+                             constant_values=w + 64.0)
+            vel = jnp.pad(vel, ((0, 0), (0, pad)))
+            if pos_ndc is not None:
+                pos_ndc = jnp.pad(pos_ndc, ((0, 0), (0, pad)))
+            if mapped is not None:
+                mapped = jnp.pad(mapped, ((0, 0), (0, pad)))
+            live = jnp.pad(live, (0, pad))
+        else:
+            # Fused-step inputs pad with zeros; the kernel marks pad rows
+            # dead + far-corner by `idx >= n`.
+            step_fuse = dict(step_fuse)
+            step_fuse["particles"] = jnp.pad(step_fuse["particles"],
+                                             ((0, 0), (0, pad)))
+            step_fuse["force"] = jnp.pad(step_fuse["force"],
+                                         ((0, 0), (0, pad)))
+            if step_fuse.get("targets") is not None:
+                step_fuse["targets"] = jnp.pad(step_fuse["targets"],
+                                               ((0, 0), (0, pad)))
         if idx is not None:
             # Distinct tail ids so pad rows un-sort to the end and slice off.
             idx = jnp.concatenate([idx, jnp.arange(n, n_pad, dtype=jnp.int32)])
@@ -990,29 +1163,73 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
                              memory_space=pltpu.SMEM)
     n_out = (4 if derive_p0 else 5) - (1 if scalar_color else 0) \
         + (1 if gather == 2 else 0)
-    if scalar_color:
-        # The pack kernel never reads the map values or the vignette pos
-        # (colours run in the splat kernel) — feed placeholders.
-        pack_in = [scal, p0_pix[:, 0], p0_pix[:, 1], p1_pix[:, 0],
-                   p1_pix[:, 1], vel[0], vel[1], live, live,
-                   live, live, live, live, live]
+    if step_fuse is not None:
+        # FUSED logic step + pack (small-N resident fast path — see
+        # `_step_pack_kernel`): the old state, carried force and targets
+        # go in; the pack streams AND the exact new-position ride come
+        # out. The caller must be on the resident scalar-colour path; any
+        # caller `ride` streams (the targets rows) join AFTER the emitted
+        # positions, preserving the engine's [px, py, tx, ty] order.
+        assert derive_p0 and scalar_color and gather
+        sp = step_fuse["params"]
+        state = step_fuse["particles"]
+        tgt = step_fuse.get("targets")
+        if tgt is None:
+            tgt = jnp.zeros((2, n_pad), jnp.float32)
+        scal2 = jnp.stack([
+            jnp.float32(step_fuse["dt"]), sp["damping"],
+            sp["forceWeight"], sp["varyForce"], sp["flowWeight"],
+            sp["varyFlow"], sp["noiseWeight"], sp["varyNoise"],
+            sp["noiseScale"], sp["varyNoiseScale"], sp["noiseSpeed"],
+            sp["varyNoiseSpeed"], sp["target"], sp["varyTarget"],
+            jnp.float32(0.0), jnp.float32(0.0)])[None]  # [1, 16]
+        smem_scal2 = pl.BlockSpec((1, 16), lambda b: (0, 0),
+                                  memory_space=pltpu.SMEM)
+        pack_in = [scal, scal2, state[0], state[1], state[2], state[3],
+                   tgt[0], tgt[1], step_fuse["force"][0],
+                   step_fuse["force"][1], idx]
+        f32 = jnp.float32
+        out_shapes = [jax.ShapeDtypeStruct((n_pad,), i32)] * n_out \
+            + [jax.ShapeDtypeStruct((n_pad,), f32)] * 2
+        outs = pl.pallas_call(
+            functools.partial(_step_pack_kernel, tiles_x=tiles_x,
+                              pscale=pscale, h=h, w=w, gather=gather,
+                              root=step_root, n=n),
+            grid=(n_pad // seg_block,),
+            in_specs=([smem_scal, smem_scal2] + [segspec] * 9),
+            out_specs=[segspec] * (n_out + 2),
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(*pack_in)
+        # Exact new positions lead the ride into the sort.
+        ride = list(outs[n_out:]) + (list(ride) if ride is not None
+                                     else [])
+        outs = outs[:n_out]
     else:
-        pack_in = [scal, p0_pix[:, 0], p0_pix[:, 1], p1_pix[:, 0],
-                   p1_pix[:, 1], vel[0], vel[1], pos_ndc[0], pos_ndc[1],
-                   mapped[0], mapped[1], mapped[2], mapped[3], live]
-    if gather:
-        pack_in.append(idx)
-    outs = pl.pallas_call(
-        functools.partial(_pack_kernel, tiles_x=tiles_x, pscale=pscale,
-                          h=h, w=w, gather=gather,
-                          emit_p0=not derive_p0,
-                          emit_rgba=not scalar_color),
-        grid=(n_pad // seg_block,),
-        in_specs=([smem_scal] + [segspec] * (13 + (1 if gather else 0))),
-        out_specs=[segspec] * n_out,
-        out_shape=[jax.ShapeDtypeStruct((n_pad,), i32)] * n_out,
-        interpret=interpret,
-    )(*pack_in)
+        if scalar_color:
+            # The pack kernel never reads the map values or the vignette
+            # pos (colours run in the splat kernel) — feed placeholders.
+            pack_in = [scal, p0_pix[:, 0], p0_pix[:, 1], p1_pix[:, 0],
+                       p1_pix[:, 1], vel[0], vel[1], live, live,
+                       live, live, live, live, live]
+        else:
+            pack_in = [scal, p0_pix[:, 0], p0_pix[:, 1], p1_pix[:, 0],
+                       p1_pix[:, 1], vel[0], vel[1], pos_ndc[0],
+                       pos_ndc[1], mapped[0], mapped[1], mapped[2],
+                       mapped[3], live]
+        if gather:
+            pack_in.append(idx)
+        outs = pl.pallas_call(
+            functools.partial(_pack_kernel, tiles_x=tiles_x, pscale=pscale,
+                              h=h, w=w, gather=gather,
+                              emit_p0=not derive_p0,
+                              emit_rgba=not scalar_color),
+            grid=(n_pad // seg_block,),
+            in_specs=([smem_scal] + [segspec] * (13 + (1 if gather else 0))),
+            out_specs=[segspec] * n_out,
+            out_shape=[jax.ShapeDtypeStruct((n_pad,), i32)] * n_out,
+            interpret=interpret,
+        )(*pack_in)
     # Combined keys (gather==1) are unique by construction; otherwise
     # stability is only needed when pad rows exist (they must sort after a
     # real row sharing their clamped corner tile).
@@ -1305,7 +1522,8 @@ def reconstruct_resident(npx, npy, vl, speed_limit, tx=None, ty=None,
 
 def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
                params, time, *, grid_hw, samples=2, interpret=None,
-               idx=None, ride=None, idx_bound=None, psum=None,
+               idx=None, ride=None, step_fuse=None, step_root=None,
+               idx_bound=None, psum=None,
                derive_p0=False, view_size=None, mapped_scalar=None,
                resolve="xla", read_time=None, want_eff=False):
     """Full fused draw: accumulate with in-kernel per-pass line widths
@@ -1332,9 +1550,11 @@ def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
     third output is the decayed flow at `read_time` for the carried-force
     gather; return becomes `(new_flow, new_view[, aux][, eff])`."""
     pallas_resolve = resolve == "pallas"
+    has_ride = ride is not None or step_fuse is not None
     out = fused_draw_accumulate(
         grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
         params["speedLimit"], time, idx=idx, ride=ride,
+        step_fuse=step_fuse, step_root=step_root,
         idx_bound=idx_bound, samples=samples,
         interpret=interpret, derive_p0=derive_p0,
         view_size=view_size, mapped_scalar=mapped_scalar,
@@ -1359,7 +1579,7 @@ def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
         ret = [new_flow, new_view]
         if idx is not None:
             ret.append(out[2])
-        if ride is not None:
+        if has_ride:
             ret.append(out[3])
         if want_eff:
             ret.append(res[2])
@@ -1373,7 +1593,7 @@ def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
         flow, *_widen_excess(flow_parts, params["flowWidth"]))
     new_view = composite_over(
         view, *_widen_excess(view_parts, params["lineWidth"]))
-    if ride is not None:
+    if has_ride:
         return new_flow, new_view, out[2], out[3]
     if idx is None:
         return new_flow, new_view
