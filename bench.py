@@ -337,15 +337,17 @@ def _bench4_device_scan(sim, frame_stack, params, cfg, view_size):
 def _bench_5(on_tpu):
     # 5: live-show: 16M particles, 4K trail, audio-style modulation + bokeh
     # run EVERY frame (the live-show config includes post).
-    from tendrils_tpu.ops import post
     eng = _engine(4096 if on_tpu else 64, (2160, 3840), on_tpu)
     frames = 3 if on_tpu else 1
-    bokeh = jax.jit(post.bokeh)
 
     def show_frame(i):
         eng.state["noiseScale"] = 2.0 + 0.5 * (i % 3)  # audio-style mod
-        eng.frame()
-        return bokeh(eng.sim.view[0], jnp.float32(3.0), jnp.float32(40.0))
+        eng.timer.tick()
+        # The whole show frame — step + draw + bokeh screen pass — is ONE
+        # dispatch (`engine.step_draw_io`), like the reference's per-frame
+        # pass stack (bokeh is a screen shader inside the frame,
+        # `src/screen/bokeh.frag`).
+        return eng.step_draw_io(bokeh=(3.0, 40.0))
 
     # Warm-up compiles for BOTH frame variants (cold first frame + the
     # carried-force steady state) and bokeh.

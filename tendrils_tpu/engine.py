@@ -814,7 +814,7 @@ class Tendrils:
 
     def step_draw_io(self, *, color_maps=None, color_alphas=None,
                      segments=None, of_frames=None, of_uniforms=None,
-                     blur=None):
+                     blur=None, bokeh=None):
         """The whole interactive frame in ONE device dispatch (no timer
         tick, like `step_draw`): optional colour-map blend, step + draw,
         optional pointer flow-line injection, optional optical-flow
@@ -827,8 +827,11 @@ class Tendrils:
         colour map with `color_alphas` weights (ref `demo.main.js:1070-1079`);
         `segments`: `(p0_pix, p1_pix, vel, width_px)` pointer ribbons;
         `of_frames`: `(current, last)` optical-flow frame grids with
-        `of_uniforms` dict (offset/lambda/speed); `blur`: `(radius, limit)`.
-        Returns the post-processed screen image (or None without `blur`).
+        `of_uniforms` dict (offset/lambda/speed); `blur`: `(radius, limit)`;
+        `bokeh`: `(radius, amount)` — the reference's other screen pass
+        (`src/screen/bokeh.frag`), applied after `blur` when both are set.
+        Returns the post-processed screen image (or None without a post
+        stage).
 
         While the timer is paused only the STEP stage is skipped — colour
         maps, pointer flow segments and optical-flow frames still land (the
@@ -866,12 +869,15 @@ class Tendrils:
         blur_t = None
         if blur is not None:
             blur_t = (jnp.float32(blur[0]), jnp.float32(blur[1]))
+        bokeh_t = None
+        if bokeh is not None:
+            bokeh_t = (jnp.float32(bokeh[0]), jnp.float32(bokeh[1]))
 
         paused = bool(self.timer.paused)
         self.sim, screen = _frame_io_jit(
             self.sim, self.params(), jnp.float32(self.timer.time),
             jnp.float32(self.timer.dt), self.config, self._view_size,
-            cm, color_alphas, seg, of, blur_t,
+            cm, color_alphas, seg, of, blur_t, bokeh_t,
             stepping=not paused, targets_live=self._targets_live,
             fast_resolve=fast_resolve_ok(self.config, self.state))
         return screen
@@ -1029,7 +1035,7 @@ def _inject_flow(flow, p0_pix, p1_pix, vel, width, params, time, cfg,
                                              "fast_resolve"),
                    donate_argnums=(0,))
 def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
-                  seg, of, blur, stepping=True,
+                  seg, of, blur, bokeh=None, stepping=True,
                   targets_live=True, fast_resolve=False):
     """One-dispatch interactive frame: [colormap blend] + step + draw +
     [flow-line inject] + [optical flow] + [vignette blur]. Optional stages
@@ -1113,6 +1119,10 @@ def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
     if blur is not None:
         from .ops import post as post_ops
         screen = post_ops.vignette_blur(sim.view[0], blur[0], blur[1])
+    if bokeh is not None:
+        from .ops import post as post_ops
+        screen = post_ops.bokeh(sim.view[0] if screen is None else screen,
+                                bokeh[0], bokeh[1])
     return sim, screen
 
 

@@ -861,7 +861,7 @@ def _step_pack_kernel(scal_ref, scal2_ref, px_ref, py_ref, vx_ref, vy_ref,
 def _bin_and_splat(scal, outs, gather, time, *, tiles_x, pscale,
                    samples, h, w, hp, wp, n_pad, interpret, ride=None,
                    derive_p0=False, scalar_color=False, raw_accum=False,
-                   stable=True):
+                   stable=True, p1_from_ride=None):
     """Shared pipeline tail: segment sort (with the optional gather
     stream), segment-direct splat kernel, payload reassembly. Returns
     (flow_parts, view_parts, aux, ride_sorted).
@@ -870,7 +870,18 @@ def _bin_and_splat(scal, outs, gather, time, *, tiles_x, pscale,
     that join the segment sort and come back tile-sorted — the resident
     -stream mode rides the exact f32 particle state here, so the sorted
     order becomes the NEXT frame's row order and the force un-sort
-    disappears entirely (see `engine.draw_sim`)."""
+    disappears entirely (see `engine.draw_sim`).
+
+    `p1_from_ride` (resident mode; the REAL row count `n`): the quantised
+    p1 word is a pure function of the exact new position — and the exact
+    positions already ride the sort as `ride[0:2]`. Dropping p1 from the
+    sort operands saves a whole 16.7M-row stream through the bitonic
+    network (~25 ms/operand at 16M, BENCHMARKS.md battery C) and it is
+    recomputed BIT-EXACTLY post-sort: the same `(x·vsx·0.5+0.5)·w` pixel
+    transform (scal slots 30/31) and the same `_pack_core.qpos`
+    clip/round/pack in f32 — identical IEEE ops in a different order of
+    rows. Pad rows (sorted ids >= n) re-apply the far-corner override the
+    pack applied pre-sort."""
     smem_scal = pl.BlockSpec((1, 32), lambda b: (0, 0),
                              memory_space=pltpu.SMEM)
     n_seg_ops = (4 if derive_p0 else 5) - (1 if scalar_color else 0)
@@ -883,12 +894,15 @@ def _bin_and_splat(scal, outs, gather, time, *, tiles_x, pscale,
     gouts = list(outs[n_seg_ops:])
     ride = list(ride) if ride is not None else []
 
-    # Bin SEGMENTS by tile (5 packed int32 operands at half the sample
+    # Bin SEGMENTS by tile (packed int32 operands at half the sample
     # count, + the gather stream when carried); the expand pass then emits
     # per-sample operands that are already exactly-sorted runs (samples
     # inherit their segment's key).
-    seg_ops = [x for x in (keym, p0u, p1u, vlu, rgbau)
-               if x is not None]
+    sort_p1 = p1_from_ride is None
+    assert sort_p1 or (derive_p0 and ride and len(ride) >= 2), \
+        "p1_from_ride needs the resident ride's exact positions"
+    seg_ops = [x for x in (keym, p0u, p1u if sort_p1 else None, vlu,
+                           rgbau) if x is not None]
     # f32 value operands cost ~2.6x an int32 operand in lax.sort on
     # TPU (measured) — ride them as bitcast int32 and restore after.
     ride_dtypes = [r.dtype for r in ride]
@@ -912,19 +926,41 @@ def _bin_and_splat(scal, outs, gather, time, *, tiles_x, pscale,
         sorted_ops = [o.reshape(-1) for o in sorted_ops]
     else:
         sorted_ops = jax.lax.sort(ops_all, num_keys=1, is_stable=stable)
-    rem = list(sorted_ops[:n_seg_ops])
+    n_sorted = len(seg_ops)
+    rem = list(sorted_ops[:n_sorted])
     keym = rem.pop(0)
     if p0u is not None:
         p0u = rem.pop(0)
-    p1u = rem.pop(0)
+    if sort_p1:
+        p1u = rem.pop(0)
     vlu = rem.pop(0)
     if rgbau is not None:
         rgbau = rem.pop(0)
-    gouts = list(sorted_ops[n_seg_ops:n_seg_ops + len(gouts)])
+    gouts = list(sorted_ops[n_sorted:n_sorted + len(gouts)])
     ride = [jax.lax.bitcast_convert_type(r, dt)
             if dt == jnp.float32 else r
-            for r, dt in zip(sorted_ops[n_seg_ops + len(gouts):],
+            for r, dt in zip(sorted_ops[n_sorted + len(gouts):],
                              ride_dtypes)]
+    if not sort_p1:
+        # Recompute the quantised p1 word from the SORTED exact positions
+        # (bit-identical to `_pack_core`: same f32 pixel transform, clip,
+        # round and pack — see the docstring).
+        n_real = p1_from_ride
+        xpix = (ride[0] * scal[0, 30] * 0.5 + 0.5) * w
+        ypix = (ride[1] * scal[0, 31] * 0.5 + 0.5) * h
+        if n_real < n_pad:
+            # Pads are exactly the LAST rows post-sort (corner-tile key +
+            # the `stable` guarantee) — detect by POSITION, not id: in a
+            # sharded frame the gather ids are GLOBAL while n_real is the
+            # shard-local count, so an id test would misflag real rows.
+            is_pad = jnp.arange(n_pad, dtype=jnp.int32) >= n_real
+            far = jnp.float32(w + 64.0)
+            xpix = jnp.where(is_pad, far, xpix)
+            ypix = jnp.where(is_pad, far, ypix)
+        xp = jnp.clip(xpix + PAD_LO_W, 1.0, PAD_LO_W + w + 1.0)
+        yp = jnp.clip(ypix + PAD_LO_H, 1.0, PAD_LO_H + h + 1.0)
+        p1u = (jnp.round(yp * pscale).astype(jnp.int32) * (HALF + 1)
+               + jnp.round(xp * pscale).astype(jnp.int32))
 
     if gather:
         # The flow-gather key is keym except for the rare non-fitting
@@ -1238,7 +1274,11 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
         scal, outs, gather, time, tiles_x=tiles_x,
         pscale=pscale, samples=samples, h=h, w=w, hp=hp, wp=wp,
         n_pad=n_pad, interpret=interpret, ride=ride, derive_p0=derive_p0,
-        scalar_color=scalar_color, raw_accum=raw_accum, stable=stable)
+        scalar_color=scalar_color, raw_accum=raw_accum, stable=stable,
+        # Resident rides lead with the exact positions — drop the p1
+        # operand from the sort and recompute it post-sort (one fewer
+        # 16M-row stream through the bitonic network).
+        p1_from_ride=(n if derive_p0 and ride else None))
     if ride is not None:
         return flow_parts, view_parts, aux, ride_s
     if idx is None:

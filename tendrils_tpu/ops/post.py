@@ -274,7 +274,12 @@ def bokeh(view, radius, amount, radii=(2, 6, 16)):
     # libs/bokeh/index.glsl:27: `amount += radius*500` — the shader's
     # radius uniform is in px (its offsets are `texel·(r-1)·angle` UV).
     amt = amount * power + (radius * power) * 500.0
-    wgt = jnp.power(col2, 9.0) * amt[None] + 0.4
+    # pow(x, 9) by squarings: XLA lowers float-exponent `pow` to exp·log
+    # on the VPU — 3 multiplies are far cheaper at 4K×3ch and exact for
+    # the integer exponent.
+    c4 = col2 * col2
+    c4 = c4 * c4
+    wgt = c4 * c4 * col2 * amt[None] + 0.4
 
     num = blur_stack(jnp.concatenate([col2 * wgt, wgt]), radii)
     level = _matched_level(radius * power, radii, "bokeh")

@@ -164,3 +164,27 @@ def test_paused_io_still_applies_inputs():
     assert not np.allclose(np.asarray(eng.sim.flow), flow_before)
     # Colour map blended.
     assert eng.sim.color_map.shape == (4, 4, 4)
+
+def test_step_draw_io_bokeh_stage():
+    """The bokeh screen pass inside the one-dispatch frame must match the
+    separate `post.bokeh` call — alone and stacked after blur."""
+    a = make_engine()
+    a.timer.tick()
+    screen = a.step_draw_io(bokeh=(2.0, 40.0))
+
+    b = make_engine()
+    b.timer.tick()
+    b.step_draw()
+    screen_b = post.bokeh(b.sim.view[0], jnp.float32(2.0),
+                          jnp.float32(40.0))
+    np.testing.assert_allclose(np.asarray(screen), np.asarray(screen_b),
+                               atol=1e-6)
+
+    c = make_engine()
+    c.timer.tick()
+    screen_c = c.step_draw_io(blur=(3.0, 1.0), bokeh=(2.0, 40.0))
+    blurred = post.vignette_blur(b.sim.view[0], jnp.float32(3.0),
+                                 jnp.float32(1.0))
+    want = post.bokeh(blurred, jnp.float32(2.0), jnp.float32(40.0))
+    np.testing.assert_allclose(np.asarray(screen_c), np.asarray(want),
+                               atol=1e-6)
