@@ -21,8 +21,6 @@ def main():
     res = os.environ.get("TT_RESIDENT", "")
     if res:  # "1" opts in, "0" forces the classic carry path
         kw["resident_stream"] = res == "1"
-    if os.environ.get("TT_FUSE", "") == "0":  # disable the fused step+pack
-        kw["fused_step_max_n"] = 0
     root = int(os.environ.get("TT_ROOT", 1024))
     h, w = (int(v) for v in
             os.environ.get("TT_RES", "1080x1920").split("x"))

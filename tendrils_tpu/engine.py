@@ -64,18 +64,13 @@ class EngineConfig:
     # single-device pallas path with one flow LOD; invalidated by spawns and
     # external flow edits (the next frame gathers in-step).
     carry_force: bool = True
-    # (An in-kernel logic step inside the pack kernel was built and
-    # measured SLOWER on v5e — in-kernel simplex lowers worse under Mosaic
-    # than under XLA fusion, 19.5 vs 17.4 ms/step at 1M/1080p — and was
-    # deleted in round 3; see BENCHMARKS.md.)
-    # Fused step+pack (small-N launch-floor configs): when the resident
-    # scalar-colour frame has a carried force and n <= this bound, the
-    # whole logic step runs INSIDE the pack kernel (`draw_sim(fused_step=
-    # True)`) — the step's XLA chain (~0.5 ms of a 1.5 ms frame at 65k,
-    # scripts/perf_c1_breakdown.py) and its HBM state round-trip vanish.
-    # Off above the bound: the in-kernel simplex measured +2 ms at 1M in
-    # round 2 (compute-bound there; BENCHMARKS.md). 0 disables.
-    fused_step_max_n: int = 1 << 17
+    # (An in-kernel logic step inside the pack kernel was built TWICE and
+    # measured a loss both times: at 1M it is compute-bound and the
+    # in-kernel simplex lowers worse under Mosaic than XLA fusion (19.5 vs
+    # 17.4 ms/step, round 2); at 65k — the launch-floor hypothesis — it
+    # was a wash-to-slight-loss (1.93 vs 1.83 ms scan-timed, round-4
+    # battery D): XLA already fuses/overlaps the step chain, so there are
+    # no launches to save. Deleted both times; see BENCHMARKS.md.)
     # Resident stream: the exact f32 particle state rides the fused draw's
     # segment sort, so the SORTED order becomes the next frame's row order.
     # The force un-sort (a whole second lax.sort crossing, ~4.7 ms at 1M)
@@ -139,15 +134,6 @@ def resident_enabled(cfg: EngineConfig) -> bool:
     """Whether the hot frame runs in resident-stream mode (state rides the
     draw sort; see `EngineConfig.resident_stream`)."""
     return carry_enabled(cfg) and cfg.resident_stream
-
-
-def fused_step_enabled(cfg: EngineConfig) -> bool:
-    """Whether the hot frame may run the logic step INSIDE the pack kernel
-    (see `EngineConfig.fused_step_max_n`; additionally requires the carried
-    force to be present — the first frame after a spawn/flow edit steps
-    classically)."""
-    return (resident_enabled(cfg) and cfg.color_map_res == (1, 1)
-            and 0 < cfg.n <= cfg.fused_step_max_n)
 
 
 def fast_resolve_ok(cfg: EngineConfig, src=None) -> bool:
@@ -304,8 +290,7 @@ def step_sim(sim: state_mod.SimState, params, time, dt, cfg: EngineConfig,
 def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
              view_size, axis_name=None, want_aux=False, resident=False,
              targets_live=True, stepped=False, fast_resolve=False,
-             read_time=None, want_eff=False, want_force=False,
-             fused_step=False, dt=None):
+             read_time=None, want_eff=False, want_force=False):
     """Flow + view render passes — ref `src/index.js:278-340`.
 
     With `axis_name` set (data-parallel shard_map over particles), the splat
@@ -400,11 +385,6 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
         # wins, flag deleted per VERDICT r3 #6.)
         derive = resident
         scalar_map = derive and cfg.color_map_res == (1, 1)
-        if fused_step and not (resident and scalar_map
-                               and sim.force is not None
-                               and dt is not None):
-            raise ValueError("fused_step requires the resident scalar"
-                             "-colour path with a carried force and dt")
         mapped = None
         mapped_scalar = None
         if scalar_map:
@@ -432,30 +412,18 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
         n_local = pos.shape[1]
         ride = None
         idx_arg = None
-        step_fuse = None
         if resident:
             # Only the exact f32 POSITIONS ride the sort; the new velocity
             # is reconstructed from the splat stream's q15 fields (the same
             # quantisation the classic path's carried force crossed), and
             # inert targets don't ride at all (the buffer passes through
-            # loop-invariant). Keeps the hot sort at 5 operands.
+            # loop-invariant). Keeps the hot sort at 5 operands (the
+            # quantised p1 word is recomputed post-sort from the riding
+            # positions, `_bin_and_splat(p1_from_ride=...)`).
             idx_arg = sim.idx
-            if fused_step:
-                # The logic step runs INSIDE the pack kernel: old state +
-                # carried force in, pack streams + exact new-position ride
-                # out (`draw_pallas._step_pack_kernel`). The targets rows
-                # feed the seek force AND (when live) join the ride.
-                step_fuse = {"particles": sim.particles,
-                             "force": sim.force, "params": params,
-                             "dt": dt,
-                             "targets": (sim.targets[:2] if targets_live
-                                         else None)}
-                ride = ([sim.targets[0], sim.targets[1]]
-                        if targets_live else None)
-            else:
-                ride = [sim.particles[0], sim.particles[1]]
-                if targets_live:
-                    ride += [sim.targets[0], sim.targets[1]]
+            ride = [sim.particles[0], sim.particles[1]]
+            if targets_live:
+                ride += [sim.targets[0], sim.targets[1]]
         elif want_aux:
             idx_arg = jnp.arange(n_local, dtype=jnp.int32)
         want_eff = want_eff and presolve and want_aux
@@ -463,8 +431,6 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
             sim.flow, view0, p0, p1, vel, pos, mapped, live, params, time,
             grid_hw=(h, w), samples=cfg.view_samples,
             idx=idx_arg, ride=ride,
-            step_fuse=step_fuse,
-            step_root=(cfg.root_num if fused_step else None),
             # Resident rows carry GLOBAL ids (a sharded frame's local
             # stream may hold ids up to cfg.n) — bound them explicitly so
             # the combined 20-bit key packing stays sound.
@@ -992,17 +958,6 @@ def _frame_jit(sim, params, time, dt, cfg, view_size,
         return draw_sim(sim, params, time, cfg, view_size, stepped=True,
                         fast_resolve=fast_resolve)
     resident = resident_enabled(cfg)
-    if (fused_step_enabled(cfg) and sim.force is not None):
-        # Launch-floor fast path: the logic step runs inside the pack
-        # kernel — no step_sim call at all (see EngineConfig.fused_step
-        # _max_n). The first frame (no carried force) steps classically.
-        out = draw_sim(sim, params, time, cfg, view_size,
-                       want_aux=True, resident=True,
-                       targets_live=targets_live, stepped=True,
-                       fast_resolve=fast_resolve, read_time=time + dt,
-                       want_eff=fast_resolve, want_force=True,
-                       fused_step=True, dt=dt)
-        return out[0]
     sim = step_sim(sim, params, time, dt, cfg, view_size)
     out = draw_sim(sim, params, time, cfg, view_size,
                    want_aux=True, resident=resident,
@@ -1071,15 +1026,12 @@ def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
     if not stepping:
         sim = draw_sim(sim, params, time, cfg, view_size)
     elif carry:
-        fuse = fused_step_enabled(cfg) and sim.force is not None
-        if not fuse:
-            sim = step_sim(sim, params, time, dt, cfg, view_size)
+        sim = step_sim(sim, params, time, dt, cfg, view_size)
         out = draw_sim(sim, params, time, cfg, view_size,
                        want_aux=True, resident=resident,
                        targets_live=targets_live, stepped=True,
                        fast_resolve=fast_resolve, read_time=time + dt,
-                       want_eff=want_eff, want_force=want_force,
-                       fused_step=fuse, dt=dt)
+                       want_eff=want_eff, want_force=want_force)
         sim, aux = out[:2]
         eff = out[2] if len(out) > 2 else None
         if want_force:
@@ -1150,20 +1102,8 @@ def run_headless(sim, params, cfg: EngineConfig, view_size, t0, dt, steps,
     if fast_resolve is None:
         fast_resolve = fast_resolve_ok(cfg, params)
 
-    fuse = fused_step_enabled(cfg)
-
     def body(sim, i):
         time = t0 + dt * (i + 1)
-        if carry and fuse:
-            # Step inside the pack kernel (force seeded above, so every
-            # scan iteration takes the fused variant).
-            out = draw_sim(sim, params, time, cfg, view_size,
-                           want_aux=True, resident=True,
-                           targets_live=targets_live, stepped=True,
-                           fast_resolve=fast_resolve, read_time=time + dt,
-                           want_eff=fast_resolve, want_force=True,
-                           fused_step=True, dt=dt)
-            return out[0], ()
         if carry:
             sim = step_sim(sim, params, time, dt, cfg, view_size)
             out = draw_sim(sim, params, time, cfg, view_size,

@@ -38,7 +38,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..const import INERT
-from .noise import snoise3_xyz
 from .splat import composite_over
 from .tile_geom import (HALF, PAD_LO_H, PAD_LO_W, REGION_H, REGION_W,
                         TILE_H, TILE_W, pad_dims as _pad_dims)
@@ -739,125 +738,6 @@ def _pack_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
                emit_rgba=emit_rgba, key_recon=not emit_p0)
 
 
-def _step_pack_kernel(scal_ref, scal2_ref, px_ref, py_ref, vx_ref, vy_ref,
-                      tx_ref, ty_ref, fx_ref, fy_ref, idx_ref, *refs,
-                      tiles_x, pscale, h, w, gather, root, n):
-    """FUSED logic step + segment pack (small-N resident fast path): one
-    VPU pass runs the particle update (`src/logic.frag:45-101` — simplex
-    wander + CARRIED flow force + target seek, damping, speed clamp, Euler,
-    inert mask) and immediately packs the prev→new segment streams, so the
-    step never materialises to HBM as a separate XLA chain. At the launch
-    -floor configs (65k particles: step ≈ 0.52 ms of a 1.53 ms frame,
-    `scripts/perf_c1_breakdown.py`) the saved launches far outweigh the
-    in-kernel simplex cost that made the same fusion LOSE at 1M in round 2
-    (+2 ms there ⇒ ~+0.13 ms here; BENCHMARKS.md).
-
-    Resident/scalar-colour only: emits keym[, gidx], p1, vl (key_recon
-    keys, no p0/rgba operands) plus the exact new-position ride streams
-    `npx, npy` — the caller feeds those straight into the segment sort as
-    the resident ride.
-
-    scal: the draw's [1, 32] (slot 0 speedLimit, 1 time, 30/31 viewSize —
-    `_pack_core` reads it). scal2 f32[1, 16] step params: [0] dt,
-    [1] damping, [2] forceWeight, [3] varyForce, [4] flowWeight,
-    [5] varyFlow, [6] noiseWeight, [7] varyNoise, [8] noiseScale,
-    [9] varyNoiseScale, [10] noiseSpeed, [11] varyNoiseSpeed, [12] target,
-    [13] varyTarget. `n`: real row count — pad rows (idx >= n) emit
-    bottom-right-clipped dead segments exactly like the XLA path's
-    padding, so they sort last."""
-    assert gather, "fused step always carries the gather/id stream"
-    refs = list(refs)
-    keym_ref = refs.pop(0)
-    p1_ref = refs.pop(0)
-    vl_ref = refs.pop(0)
-    grefs = [refs.pop(0)] if gather == 2 else []
-    npx_ref, npy_ref = refs
-
-    time = scal_ref[0, 1]
-    vsx = scal_ref[0, 30]
-    vsy = scal_ref[0, 31]
-    speed_limit = scal_ref[0, 0]
-    dt = scal2_ref[0, 0]
-
-    px = px_ref[:]
-    py = py_ref[:]
-    vx = vx_ref[:]
-    vy = vy_ref[:]
-    idx = idx_ref[:]
-    alive = (px != INERT) | (py != INERT)
-    is_pad = idx >= n
-
-    # Per-particle constants from ORIGINAL ids
-    # (state.particle_coords_from_idx).
-    idxf = idx.astype(jnp.float32)
-    ix = idxf - jnp.floor(idxf / root) * root
-    iy = jnp.floor(idxf / root)
-    uv0 = (ix + 0.5) / root
-    uv1 = (iy + 0.5) / root
-    index01 = ((ix + 0.5) + (iy + 0.5) * root) / (root * root)
-
-    def vary(slot_base, slot_var):
-        b = scal2_ref[0, slot_base]
-        return b + index01 * scal2_ref[0, slot_var] * b
-
-    # Wander force (ops/logic.wander_force).
-    noise_scale = vary(8, 9)
-    noise_speed = vary(10, 11)
-    ntime = time * noise_speed
-    wander_x = snoise3_xyz(px * noise_scale, py * noise_scale, uv0 + ntime)
-    wander_y = snoise3_xyz(px * noise_scale, py * noise_scale,
-                           uv1 + ntime + 1234.5678)
-
-    force_w = vary(2, 3)
-    flow_w = vary(4, 5)
-    noise_w = vary(6, 7)
-    damping = scal2_ref[0, 1]
-
-    nvx = (vx * damping * dt
-           + force_w * (fx_ref[:] * dt * flow_w + wander_x * dt * noise_w))
-    nvy = (vy * damping * dt
-           + force_w * (fy_ref[:] * dt * flow_w + wander_y * dt * noise_w))
-
-    # Target seek (src/logic.frag:85).
-    target_w = vary(12, 13)
-    nvx = nvx + (tx_ref[:] - px) * target_w
-    nvy = nvy + (ty_ref[:] - py) * target_w
-
-    # Speed clamp (src/logic.frag:92-94; 0/0 guarded like ops/logic).
-    speed = jnp.sqrt(nvx * nvx + nvy * nvy)
-    scale = jnp.minimum(speed, speed_limit) / jnp.maximum(speed, 1e-12)
-    nvx = nvx * scale
-    nvy = nvy * scale
-
-    npx = jnp.where(alive, px + nvx, px)
-    npy = jnp.where(alive, py + nvy, py)
-    nvx = jnp.where(alive, nvx, vx)
-    nvy = jnp.where(alive, nvy, vy)
-
-    # prev→new segment in window pixels; pad rows clip to the far corner
-    # (exactly the XLA path's `w + 64` padding) so they sort LAST.
-    far = jnp.float32(w + 64.0)
-
-    def to_pix(x, y):
-        return ((x * vsx * 0.5 + 0.5) * w, (y * vsy * 0.5 + 0.5) * h)
-
-    p0x, p0y = to_pix(px, py)
-    p1x, p1y = to_pix(npx, npy)
-    p0x = jnp.where(is_pad, far, p0x)
-    p0y = jnp.where(is_pad, far, p0y)
-    p1x = jnp.where(is_pad, far, p1x)
-    p1y = jnp.where(is_pad, far, p1y)
-    live = (alive & ~is_pad).astype(jnp.float32)
-
-    _pack_core(scal_ref, p0x, p0y, p1x, p1y, nvx, nvy, live, live,
-               live, live, live, live, live, idx,
-               keym_ref, None, p1_ref, vl_ref, None, grefs,
-               tiles_x=tiles_x, pscale=pscale, h=h, w=w, gather=gather,
-               emit_rgba=False, key_recon=True)
-    npx_ref[:] = npx
-    npy_ref[:] = npy
-
-
 def _bin_and_splat(scal, outs, gather, time, *, tiles_x, pscale,
                    samples, h, w, hp, wp, n_pad, interpret, ride=None,
                    derive_p0=False, scalar_color=False, raw_accum=False,
@@ -1053,10 +933,10 @@ def pos_scale_for(grid_hw):
 @functools.partial(jax.jit, static_argnames=("grid_hw", "samples",
                                              "interpret",
                                              "derive_p0", "raw_accum",
-                                             "idx_bound", "step_root"))
+                                             "idx_bound"))
 def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
                           live, speed_limit, time, *, idx=None, ride=None,
-                          step_fuse=None, step_root=None, idx_bound=None,
+                          idx_bound=None,
                           samples=2,
                           interpret=None, flow_width=1.0,
                           line_width=1.0, speed_alpha=1.0, sin_decay=0.0,
@@ -1116,36 +996,23 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
     # Pad segments to a block multiple (no-op for root_num >= 64). Pack and
     # expand run on PACK_SEG-segment grid steps when the input is big enough
     # (grid-step overhead), which the splat's BLOCK divides evenly.
-    n = (p0_pix.shape[0] if step_fuse is None
-         else step_fuse["particles"].shape[1])
+    n = p0_pix.shape[0]
     seg_block = BLOCK // samples
     if n >= PACK_SEG and PACK_SEG % seg_block == 0:
         seg_block = PACK_SEG
     n_pad = (n + seg_block - 1) // seg_block * seg_block
     if n_pad != n:
         pad = n_pad - n
-        if step_fuse is None:
-            p0_pix = jnp.pad(p0_pix, ((0, pad), (0, 0)),
-                             constant_values=w + 64.0)
-            p1_pix = jnp.pad(p1_pix, ((0, pad), (0, 0)),
-                             constant_values=w + 64.0)
-            vel = jnp.pad(vel, ((0, 0), (0, pad)))
-            if pos_ndc is not None:
-                pos_ndc = jnp.pad(pos_ndc, ((0, 0), (0, pad)))
-            if mapped is not None:
-                mapped = jnp.pad(mapped, ((0, 0), (0, pad)))
-            live = jnp.pad(live, (0, pad))
-        else:
-            # Fused-step inputs pad with zeros; the kernel marks pad rows
-            # dead + far-corner by `idx >= n`.
-            step_fuse = dict(step_fuse)
-            step_fuse["particles"] = jnp.pad(step_fuse["particles"],
-                                             ((0, 0), (0, pad)))
-            step_fuse["force"] = jnp.pad(step_fuse["force"],
-                                         ((0, 0), (0, pad)))
-            if step_fuse.get("targets") is not None:
-                step_fuse["targets"] = jnp.pad(step_fuse["targets"],
-                                               ((0, 0), (0, pad)))
+        p0_pix = jnp.pad(p0_pix, ((0, pad), (0, 0)),
+                         constant_values=w + 64.0)
+        p1_pix = jnp.pad(p1_pix, ((0, pad), (0, 0)),
+                         constant_values=w + 64.0)
+        vel = jnp.pad(vel, ((0, 0), (0, pad)))
+        if pos_ndc is not None:
+            pos_ndc = jnp.pad(pos_ndc, ((0, 0), (0, pad)))
+        if mapped is not None:
+            mapped = jnp.pad(mapped, ((0, 0), (0, pad)))
+        live = jnp.pad(live, (0, pad))
         if idx is not None:
             # Distinct tail ids so pad rows un-sort to the end and slice off.
             idx = jnp.concatenate([idx, jnp.arange(n, n_pad, dtype=jnp.int32)])
@@ -1199,73 +1066,30 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
                              memory_space=pltpu.SMEM)
     n_out = (4 if derive_p0 else 5) - (1 if scalar_color else 0) \
         + (1 if gather == 2 else 0)
-    if step_fuse is not None:
-        # FUSED logic step + pack (small-N resident fast path — see
-        # `_step_pack_kernel`): the old state, carried force and targets
-        # go in; the pack streams AND the exact new-position ride come
-        # out. The caller must be on the resident scalar-colour path; any
-        # caller `ride` streams (the targets rows) join AFTER the emitted
-        # positions, preserving the engine's [px, py, tx, ty] order.
-        assert derive_p0 and scalar_color and gather
-        sp = step_fuse["params"]
-        state = step_fuse["particles"]
-        tgt = step_fuse.get("targets")
-        if tgt is None:
-            tgt = jnp.zeros((2, n_pad), jnp.float32)
-        scal2 = jnp.stack([
-            jnp.float32(step_fuse["dt"]), sp["damping"],
-            sp["forceWeight"], sp["varyForce"], sp["flowWeight"],
-            sp["varyFlow"], sp["noiseWeight"], sp["varyNoise"],
-            sp["noiseScale"], sp["varyNoiseScale"], sp["noiseSpeed"],
-            sp["varyNoiseSpeed"], sp["target"], sp["varyTarget"],
-            jnp.float32(0.0), jnp.float32(0.0)])[None]  # [1, 16]
-        smem_scal2 = pl.BlockSpec((1, 16), lambda b: (0, 0),
-                                  memory_space=pltpu.SMEM)
-        pack_in = [scal, scal2, state[0], state[1], state[2], state[3],
-                   tgt[0], tgt[1], step_fuse["force"][0],
-                   step_fuse["force"][1], idx]
-        f32 = jnp.float32
-        out_shapes = [jax.ShapeDtypeStruct((n_pad,), i32)] * n_out \
-            + [jax.ShapeDtypeStruct((n_pad,), f32)] * 2
-        outs = pl.pallas_call(
-            functools.partial(_step_pack_kernel, tiles_x=tiles_x,
-                              pscale=pscale, h=h, w=w, gather=gather,
-                              root=step_root, n=n),
-            grid=(n_pad // seg_block,),
-            in_specs=([smem_scal, smem_scal2] + [segspec] * 9),
-            out_specs=[segspec] * (n_out + 2),
-            out_shape=out_shapes,
-            interpret=interpret,
-        )(*pack_in)
-        # Exact new positions lead the ride into the sort.
-        ride = list(outs[n_out:]) + (list(ride) if ride is not None
-                                     else [])
-        outs = outs[:n_out]
+    if scalar_color:
+        # The pack kernel never reads the map values or the vignette
+        # pos (colours run in the splat kernel) — feed placeholders.
+        pack_in = [scal, p0_pix[:, 0], p0_pix[:, 1], p1_pix[:, 0],
+                   p1_pix[:, 1], vel[0], vel[1], live, live,
+                   live, live, live, live, live]
     else:
-        if scalar_color:
-            # The pack kernel never reads the map values or the vignette
-            # pos (colours run in the splat kernel) — feed placeholders.
-            pack_in = [scal, p0_pix[:, 0], p0_pix[:, 1], p1_pix[:, 0],
-                       p1_pix[:, 1], vel[0], vel[1], live, live,
-                       live, live, live, live, live]
-        else:
-            pack_in = [scal, p0_pix[:, 0], p0_pix[:, 1], p1_pix[:, 0],
-                       p1_pix[:, 1], vel[0], vel[1], pos_ndc[0],
-                       pos_ndc[1], mapped[0], mapped[1], mapped[2],
-                       mapped[3], live]
-        if gather:
-            pack_in.append(idx)
-        outs = pl.pallas_call(
-            functools.partial(_pack_kernel, tiles_x=tiles_x, pscale=pscale,
-                              h=h, w=w, gather=gather,
-                              emit_p0=not derive_p0,
-                              emit_rgba=not scalar_color),
-            grid=(n_pad // seg_block,),
-            in_specs=([smem_scal] + [segspec] * (13 + (1 if gather else 0))),
-            out_specs=[segspec] * n_out,
-            out_shape=[jax.ShapeDtypeStruct((n_pad,), i32)] * n_out,
-            interpret=interpret,
-        )(*pack_in)
+        pack_in = [scal, p0_pix[:, 0], p0_pix[:, 1], p1_pix[:, 0],
+                   p1_pix[:, 1], vel[0], vel[1], pos_ndc[0],
+                   pos_ndc[1], mapped[0], mapped[1], mapped[2],
+                   mapped[3], live]
+    if gather:
+        pack_in.append(idx)
+    outs = pl.pallas_call(
+        functools.partial(_pack_kernel, tiles_x=tiles_x, pscale=pscale,
+                          h=h, w=w, gather=gather,
+                          emit_p0=not derive_p0,
+                          emit_rgba=not scalar_color),
+        grid=(n_pad // seg_block,),
+        in_specs=([smem_scal] + [segspec] * (13 + (1 if gather else 0))),
+        out_specs=[segspec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((n_pad,), i32)] * n_out,
+        interpret=interpret,
+    )(*pack_in)
     # Combined keys (gather==1) are unique by construction; otherwise
     # stability is only needed when pad rows exist (they must sort after a
     # real row sharing their clamped corner tile).
@@ -1562,7 +1386,7 @@ def reconstruct_resident(npx, npy, vl, speed_limit, tx=None, ty=None,
 
 def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
                params, time, *, grid_hw, samples=2, interpret=None,
-               idx=None, ride=None, step_fuse=None, step_root=None,
+               idx=None, ride=None,
                idx_bound=None, psum=None,
                derive_p0=False, view_size=None, mapped_scalar=None,
                resolve="xla", read_time=None, want_eff=False):
@@ -1590,11 +1414,10 @@ def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
     third output is the decayed flow at `read_time` for the carried-force
     gather; return becomes `(new_flow, new_view[, aux][, eff])`."""
     pallas_resolve = resolve == "pallas"
-    has_ride = ride is not None or step_fuse is not None
+    has_ride = ride is not None
     out = fused_draw_accumulate(
         grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
         params["speedLimit"], time, idx=idx, ride=ride,
-        step_fuse=step_fuse, step_root=step_root,
         idx_bound=idx_bound, samples=samples,
         interpret=interpret, derive_p0=derive_p0,
         view_size=view_size, mapped_scalar=mapped_scalar,

@@ -111,58 +111,6 @@ def test_resident_targets_ride():
     np.testing.assert_allclose(ta, tb, atol=1e-6)
 
 
-def test_fused_step_matches_classic_step():
-    """The in-kernel logic step (`draw_sim(fused_step=True)`, small-N
-    launch-floor path) must reproduce the XLA step chain: same wander /
-    carried-force / seek / clamp / Euler math on the same carried force.
-    Padded tail exercised (n=256 < seg_block)."""
-    a = make_engine(True)                        # fused step ON (default)
-    b = make_engine(True, fused_step_max_n=0)    # same path, classic step
-    from tendrils_tpu.engine import fused_step_enabled
-    assert fused_step_enabled(a.config) and not fused_step_enabled(b.config)
-    for _ in range(4):
-        a.frame()
-        b.frame()
-    pa, pb = by_identity(a.sim), by_identity(b.sim)
-    # Identical math traced through different lowerings (in-kernel simplex
-    # vs XLA fusion): per-op f32 rounding only.
-    np.testing.assert_allclose(pa, pb, atol=2e-5)
-    assert (np.abs(pa - pb) > 1e-6).mean() < 0.05
-    np.testing.assert_allclose(np.asarray(a.sim.flow),
-                               np.asarray(b.sim.flow), atol=1e-2)
-    np.testing.assert_allclose(np.asarray(a.sim.view).sum(),
-                               np.asarray(b.sim.view).sum(), rtol=1e-2)
-    # prev = pos - vel invariant holds on the fused path too.
-    p = np.asarray(a.sim.particles)
-    prev = np.asarray(a.sim.previous)
-    alive = (p[0] != INERT) | (p[1] != INERT)
-    np.testing.assert_allclose(prev[0][alive], (p[0] - p[2])[alive],
-                               atol=1e-6)
-
-
-def test_fused_step_with_targets():
-    """Fused step + live targets: the seek force reads the targets rows
-    in-kernel and the rows still ride the sort aligned to identity."""
-    a = make_engine(True)
-    b = make_engine(True, fused_step_max_n=0)
-    for eng in (a, b):
-        eng.state["target"] = 0.05
-        eng.spawn_shader(
-            lambda p, e: spawn.ball(p, e._frag_xy, 0.3, 0.005),
-            target="targets")
-    assert a._targets_live
-    for _ in range(3):
-        a.frame()
-        b.frame()
-    np.testing.assert_allclose(by_identity(a.sim), by_identity(b.sim),
-                               atol=2e-5)
-    order_a = np.argsort(np.asarray(a.sim.idx))
-    ta = np.asarray(a.sim.targets)[:2][:, order_a]
-    order_b = np.argsort(np.asarray(b.sim.idx))
-    tb = np.asarray(b.sim.targets)[:2][:, order_b]
-    np.testing.assert_allclose(ta, tb, atol=1e-6)
-
-
 def test_resident_best_sample_target_spawn():
     """VERDICT r3 item 7: the resident frame approximates `previous`'s
     velocity half with the CURRENT velocity, consumed only by the
