@@ -74,10 +74,12 @@ def main():
     bokeh = jax.jit(post.bokeh)
 
     def show_frame():
-        eng.frame()
-        return bokeh(eng.sim.view[0], jnp.float32(3.0), jnp.float32(40.0))
+        # The config-5 metric: ONE dispatch (step + draw + bokeh).
+        eng.timer.tick()
+        return eng.step_draw_io(bokeh=(3.0, 40.0))
 
-    t_full = timed("full show frame (frame+bokeh)", show_frame, reps=frames)
+    t_full = timed("full show frame (one-dispatch io+bokeh)", show_frame,
+                   reps=frames)
 
     def frame_only():
         eng.frame()
@@ -115,6 +117,17 @@ def main():
 
     t_sort = timed(f"segment sort alone (6 ops, chunks={chunks})", sort6,
                    *ops, reps=frames)
+
+    @jax.jit
+    def sort5(*o):
+        if chunks > 1:
+            out = jax.lax.sort([x.reshape(chunks, -1) for x in o[:5]],
+                               num_keys=1, is_stable=False)
+            return [x.reshape(-1) for x in out]
+        return jax.lax.sort(list(o[:5]), num_keys=1, is_stable=False)
+
+    t_sort5 = timed(f"segment sort 5 ops — production count since the p1"
+                    f" cut (chunks={chunks})", sort5, *ops, reps=frames)
 
     @jax.jit
     def sort4(*o):
@@ -174,8 +187,8 @@ def main():
                   eng.sim.view[0], reps=frames)
 
     print("\n  derived:", flush=True)
-    print(f"  splat-kernel share ≈ accumulate − sort = "
-          f"{t_acc - t_sort:.1f} ms", flush=True)
+    print(f"  splat-kernel share ≈ accumulate − sort5 = "
+          f"{t_acc - t_sort5:.1f} ms", flush=True)
     print(f"  frame − (step+accum+resolve) ≈ XLA tail/gather = "
           f"{t_frame - t_step - t_acc - t_res:.1f} ms", flush=True)
     print(f"  bokeh share of full = {t_full - t_frame:.1f} ms "

@@ -562,6 +562,7 @@ class Tendrils:
             self.timer.step = 1000.0 / 60.0  # ref src/index.js:67
         self.seed = seed
         self.sim: state_mod.SimState | None = None
+        self._pcache = {}  # params() device-scalar cache (see params())
         self._setup_static()
 
     # -- setup / teardown
@@ -651,12 +652,46 @@ class Tendrils:
     # -- parameters
 
     def params(self):
-        p = state_mod.params_from_state(self.state)
-        p["autoClearView"] = jnp.float32(
-            1.0 if self.state.get("autoClearView") else 0.0)
-        p["autoFade"] = jnp.float32(
-            1.0 if self.state.get("autoFade", True) else 0.0)
-        return p
+        """Traced-parameter view of `state`, with per-key device caching.
+
+        Each `jnp.asarray` is a device put — ~1.8 ms of host time EACH
+        through the axon tunnel, so converting all ~24 params every frame
+        cost ~42 ms/frame of pure dispatch overhead on every interactive
+        path (measured 2026-08-19; the scan paths convert once and never
+        saw it). Keep the converted scalar per key and re-upload only
+        when the host value changed (keyed on value bytes, so in-place
+        list mutation is caught)."""
+        cache = self._pcache
+        out = {}
+        for k, v in self.state.items():
+            if k in state_mod._STATIC_KEYS:
+                continue
+            hv = np.asarray(v, np.float32)
+            hk = (hv.shape, hv.tobytes())
+            ent = cache.get(k)
+            if ent is None or ent[0] != hk:
+                ent = (hk, jnp.asarray(hv))
+                cache[k] = ent
+            out[k] = ent[1]
+        acv = 1.0 if self.state.get("autoClearView") else 0.0
+        afd = 1.0 if self.state.get("autoFade", True) else 0.0
+        for k, val in (("autoClearView", acv), ("autoFade", afd)):
+            ent = cache.get(k)
+            if ent is None or ent[0] != val:
+                ent = (val, jnp.float32(val))
+                cache[k] = ent
+            out[k] = ent[1]
+        return out
+
+    def _cached_scalars(self, key, vals):
+        """Device-cached tuple of f32 scalars (same rationale as
+        `params()` — each fresh `jnp.float32` is a tunnel put)."""
+        tv = tuple(float(v) for v in vals)
+        ent = self._pcache.get(key)
+        if ent is None or ent[0] != tv:
+            ent = (tv, tuple(jnp.float32(v) for v in tv))
+            self._pcache[key] = ent
+        return ent[1]
 
     # -- per-frame API
 
@@ -687,7 +722,8 @@ class Tendrils:
             return self.draw()
         self.sim = _frame_jit(self.sim, self.params(),
                               jnp.float32(self.timer.time),
-                              jnp.float32(self.timer.dt), self.config,
+                              self._cached_scalars(
+                                  "_dt", (self.timer.dt,))[0], self.config,
                               self._view_size,
                               targets_live=self._targets_live,
                               fast_resolve=fast_resolve_ok(self.config,
@@ -702,7 +738,8 @@ class Tendrils:
             return self.draw()
         self.sim = _frame_jit(self.sim, self.params(),
                               jnp.float32(self.timer.time),
-                              jnp.float32(self.timer.dt), self.config,
+                              self._cached_scalars(
+                                  "_dt", (self.timer.dt,))[0], self.config,
                               self._view_size,
                               targets_live=self._targets_live,
                               fast_resolve=fast_resolve_ok(self.config,
@@ -829,20 +866,21 @@ class Tendrils:
             # frames are 4x cheaper through the host→device pipe); the
             # optical-flow op normalises on device.
             of = (jnp.asarray(of_frames[0]), jnp.asarray(of_frames[1]),
-                  jnp.float32(u["offset"]), jnp.float32(u["lambda"]),
-                  jnp.float32(u["speed"]))
+                  *self._cached_scalars(
+                      "_of_u", (u["offset"], u["lambda"], u["speed"])))
 
         blur_t = None
         if blur is not None:
-            blur_t = (jnp.float32(blur[0]), jnp.float32(blur[1]))
+            blur_t = self._cached_scalars("_blur", blur)
         bokeh_t = None
         if bokeh is not None:
-            bokeh_t = (jnp.float32(bokeh[0]), jnp.float32(bokeh[1]))
+            bokeh_t = self._cached_scalars("_bokeh", bokeh)
 
         paused = bool(self.timer.paused)
         self.sim, screen = _frame_io_jit(
             self.sim, self.params(), jnp.float32(self.timer.time),
-            jnp.float32(self.timer.dt), self.config, self._view_size,
+            self._cached_scalars("_dt", (self.timer.dt,))[0],
+            self.config, self._view_size,
             cm, color_alphas, seg, of, blur_t, bokeh_t,
             stepping=not paused, targets_live=self._targets_live,
             fast_resolve=fast_resolve_ok(self.config, self.state))
