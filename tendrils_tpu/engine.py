@@ -693,6 +693,20 @@ class Tendrils:
             self._pcache[key] = ent
         return ent[1]
 
+    def _blur_mats(self, radii):
+        """Device-cached MXU blur-stack operators for the current view res
+        (`post.blur_stack_matrices`). They ride the io frame as jit
+        ARGUMENTS: embedded as constants the 3840² literal (~59 MB at 4K)
+        overflows the axon tunnel's remote_compile upload (HTTP 413)."""
+        from .ops import post as post_ops
+        key = ("_bmats", self.config.view_res, tuple(radii))
+        ent = self._pcache.get(key)
+        if ent is None:
+            ent = post_ops.blur_stack_matrices(self.config.view_res,
+                                               tuple(radii))
+            self._pcache[key] = ent
+        return ent
+
     # -- per-frame API
 
     def step(self):
@@ -871,10 +885,12 @@ class Tendrils:
 
         blur_t = None
         if blur is not None:
-            blur_t = self._cached_scalars("_blur", blur)
+            blur_t = (*self._cached_scalars("_blur", blur),
+                      self._blur_mats((1, 3, 8)))
         bokeh_t = None
         if bokeh is not None:
-            bokeh_t = self._cached_scalars("_bokeh", bokeh)
+            bokeh_t = (*self._cached_scalars("_bokeh", bokeh),
+                       self._blur_mats((2, 6, 16)))
 
         paused = bool(self.timer.paused)
         self.sim, screen = _frame_io_jit(
@@ -1108,11 +1124,14 @@ def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
     screen = None
     if blur is not None:
         from .ops import post as post_ops
-        screen = post_ops.vignette_blur(sim.view[0], blur[0], blur[1])
+        screen = post_ops.vignette_blur(
+            sim.view[0], blur[0], blur[1],
+            mats=blur[2] if len(blur) > 2 else None)
     if bokeh is not None:
         from .ops import post as post_ops
-        screen = post_ops.bokeh(sim.view[0] if screen is None else screen,
-                                bokeh[0], bokeh[1])
+        screen = post_ops.bokeh(
+            sim.view[0] if screen is None else screen, bokeh[0], bokeh[1],
+            mats=bokeh[2] if len(bokeh) > 2 else None)
     return sim, screen
 
 

@@ -89,8 +89,116 @@ def box_blur(img, r):
     return _box_blur_axis(_box_blur_axis(img, r, 1), r, 2)
 
 
-def blur_stack(img, radii=(2, 6, 16)):
-    """Progressively blurred copies (repeated boxes ≈ gaussian)."""
+# --- MXU matmul blur stack ---------------------------------------------------
+#
+# Each stack level is a LINEAR operator, so level_l = A_l @ img @ B_l^T with
+# A_l/B_l the composed edge-replicated box matrices — dense banded matmuls
+# that run on the MXU instead of the VPU's log-shift cumsums (measured at
+# 4K×6ch: 13.6 ms vs 76 ms for the cumsum stack, `scripts/perf_bokeh5.py`).
+# The matrices are built banded in numpy (exactly the product of the
+# clamped box matrices, so results match the sequential cumsum path to f32
+# rounding) and MUST travel as jit ARGUMENTS, not constants: a 3840² f32
+# literal embedded in the HLO is ~59 MB and overflows the axon tunnel's
+# remote_compile upload limit (the HTTP 413 in BENCHMARKS.md).
+
+
+def _band_box(n, r):
+    """Edge-replicated box blur as a banded matrix.
+
+    Band layout: `band[d + r, i] = M[i, i + d]` (zero where out of range);
+    `out[i] = sum_d band[d + r, i] * x[i + d]`.
+    """
+    band = np.zeros((2 * r + 1, n), np.float64)
+    inv = 1.0 / (2 * r + 1)
+    idx = np.arange(n)
+    for d in range(-r, r + 1):
+        valid = (idx + d >= 0) & (idx + d < n)
+        band[d + r, valid] += inv
+    for i in range(min(r, n)):
+        # Rows near the top: taps d < -i clamp to column 0 (offset -i).
+        band[-i + r, i] += (r - i) * inv
+        # Mirror rows near the bottom clamp to column n-1 (offset +i).
+        band[i + r, n - 1 - i] += (r - i) * inv
+    return band, r
+
+
+def _band_mul(a, ra, b, rb, n):
+    """Banded product C = A @ B (C[i,j] = sum_k A[i,k] B[k,j])."""
+    rc = ra + rb
+    c = np.zeros((2 * rc + 1, n), np.float64)
+    i = np.arange(n)
+    for e in range(-ra, ra + 1):
+        ae = a[e + ra]
+        for f in range(-rb, rb + 1):
+            d = e + f
+            k = i + e
+            valid = (k >= 0) & (k < n) & (i + d >= 0) & (i + d < n)
+            c[d + rc, valid] += ae[valid] * b[f + rb, k[valid]]
+    return c, rc
+
+
+def _band_dense(band, r, n):
+    m = np.zeros((n, n), np.float32)
+    i = np.arange(n)
+    for d in range(-r, r + 1):
+        valid = (i + d >= 0) & (i + d < n)
+        m[i[valid], (i + d)[valid]] = band[d + r, valid]
+    return m
+
+
+@functools.lru_cache(maxsize=8)
+def _axis_matrices_np(n, radii):
+    """Per-level cumulative blur matrices along one axis, `[(n, n)] * L`.
+
+    Row i of M_l holds the level-l kernel for output index i — exactly the
+    product of the sequential clamped box matrices `blur_stack` applies.
+    """
+    mats = []
+    cur, rc = None, 0
+    prev = 0
+    for r in radii:
+        rr = max(1, (r - prev) // 2 + 1)
+        b, rb = _band_box(n, rr)
+        step, rs = _band_mul(b, rb, b, rb, n)
+        if cur is None:
+            cur, rc = step, rs
+        else:
+            cur, rc = _band_mul(step, rs, cur, rc, n)
+        mats.append(_band_dense(cur, rc, n))
+        prev = r
+    return mats
+
+
+def blur_stack_matrices(shape_hw, radii=(2, 6, 16)):
+    """Device operator pair for `blur_stack(..., mats=...)`.
+
+    Returns `(A, Bt)`: `A[l]` is `f32[H, H]` (left multiply), `Bt[l]` is
+    `f32[W, W]` already transposed for the natural-orientation right
+    multiply `img @ Bt` (CLAUDE.md: transposed-rhs dot_general relayouts).
+    """
+    h, w = shape_hw
+    a = tuple(jnp.asarray(m) for m in _axis_matrices_np(h, tuple(radii)))
+    bt = tuple(jnp.asarray(m.T) for m in _axis_matrices_np(w, tuple(radii)))
+    return a, bt
+
+
+def blur_stack(img, radii=(2, 6, 16), mats=None):
+    """Progressively blurred copies (repeated boxes ≈ gaussian).
+
+    With `mats` (from `blur_stack_matrices`) each level runs as two MXU
+    matmuls over the SOURCE image (the per-level matrices are cumulative);
+    without, the sequential cumsum box path — same operator, so outputs
+    agree to f32 rounding (TPU matmul default precision ~1e-3, fine for a
+    screen blur)."""
+    if mats is not None:
+        a, bt = mats
+        stack = [img]
+        for a_l, bt_l in zip(a, bt):
+            hp = jnp.einsum("Hh,chw->cHw", a_l, img,
+                            preferred_element_type=jnp.float32)
+            stack.append(jnp.einsum("chw,wW->chW", hp, bt_l,
+                                    preferred_element_type=jnp.float32))
+        return stack
     stack = [img]
     cur = img
     prev_r = 0
@@ -222,7 +330,8 @@ def _matched_level(strength, radii, kind):
 
 
 @functools.partial(jax.jit, static_argnames=("radii", "grain"))
-def vignette_blur(view, radius, limit, radii=(1, 3, 8), grain=0.75):
+def vignette_blur(view, radius, limit, radii=(1, 3, 8), grain=0.75,
+                  mats=None):
     """Edge blur — ref `src/screen/blur.frag:24-32`.
 
     Per-pixel disc radius = `radius * (1 - vignette(uv, mid, limit,
@@ -247,14 +356,14 @@ def vignette_blur(view, radius, limit, radii=(1, 3, 8), grain=0.75):
         from .rand import glsl_random
         jitter = glsl_random(uv * jnp.asarray([w, h], jnp.float32)) - 0.5
         level = level + jitter * grain * jnp.minimum(level, 1.0)
-    stack = blur_stack(view, radii)
+    stack = blur_stack(view, radii, mats=mats)
     blurred = _stack_lerp(stack, level)
     # Alpha passes through unblurred — ref blur.frag:30-31 keeps view alpha.
     return jnp.concatenate([blurred[:3], view[3:4]])
 
 
 @functools.partial(jax.jit, static_argnames=("radii",))
-def bokeh(view, radius, amount, radii=(2, 6, 16)):
+def bokeh(view, radius, amount, radii=(2, 6, 16), mats=None):
     """Vignette bokeh — ref `src/screen/bokeh.frag:27-34` +
     `libs/bokeh/index.glsl`.
 
@@ -281,7 +390,7 @@ def bokeh(view, radius, amount, radii=(2, 6, 16)):
     c4 = c4 * c4
     wgt = c4 * c4 * col2 * amt[None] + 0.4
 
-    num = blur_stack(jnp.concatenate([col2 * wgt, wgt]), radii)
+    num = blur_stack(jnp.concatenate([col2 * wgt, wgt]), radii, mats=mats)
     level = _matched_level(radius * power, radii, "bokeh")
     blurred = _stack_lerp(num, level)
     out = blurred[:3] / jnp.maximum(blurred[3:], 1e-6)

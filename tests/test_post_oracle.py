@@ -103,3 +103,37 @@ def test_level_lut_monotone_and_saturating():
     assert l[-1] == 3.0  # saturates at the deepest level
     s2, l2 = post._level_lut((2, 6, 16), "bokeh")
     assert list(l2) == sorted(l2)
+
+
+def test_blur_stack_matmul_matches_cumsum():
+    """The MXU matmul stack (`blur_stack(mats=...)`) is the SAME linear
+    operator as the sequential cumsum boxes — banded matrix composition
+    reproduces the clamped edges exactly, so outputs agree to f32
+    rounding. Non-square, non-tile-multiple dims on purpose."""
+    img = mkimg(7, h=61, w=107)
+    t = jnp.asarray(img)
+    for radii in ((2, 6, 16), (1, 3, 8)):
+        mats = post.blur_stack_matrices((61, 107), radii)
+        ref = post.blur_stack(t, radii)
+        got = post.blur_stack(t, radii, mats=mats)
+        for lvl, (r, g) in enumerate(zip(ref, got)):
+            err = float(jnp.max(jnp.abs(r - g)))
+            assert err < 1e-4, (radii, lvl, err)
+        # Level matrices are averaging operators: each output's kernel
+        # sums to 1 (rows of A; columns of the pre-transposed Bt).
+        for m in mats[0]:
+            assert np.allclose(np.asarray(m).sum(axis=1), 1.0, atol=1e-5)
+        for m in mats[1]:
+            assert np.allclose(np.asarray(m).sum(axis=0), 1.0, atol=1e-5)
+
+
+def test_bokeh_matmul_matches_cumsum():
+    img = mkimg(9)
+    t = jnp.asarray(img)
+    mats = post.blur_stack_matrices(img.shape[1:], (2, 6, 16))
+    a = np.asarray(post.bokeh(t, 2.0, 20.0))
+    b = np.asarray(post.bokeh(t, 2.0, 20.0, mats=mats))
+    # The num/den division amplifies f32 rounding where den is small:
+    # measured max 2.2e-3 / p99.9 5e-4 on this frame.
+    assert np.abs(a - b).max() < 5e-3
+    assert float(np.quantile(np.abs(a - b), 0.999)) < 2e-3
