@@ -55,9 +55,10 @@ def main():
         return jax.lax.sort([k, *vs], num_keys=1, is_stable=False)
 
     scan_time("i32 sort 3 ops", sort_n, (keym, *vals[:2]))
+    scan_time("i32 sort 4 ops", sort_n, (keym, *vals[:3]))
     scan_time("i32 sort 5 ops", sort_n, (keym, *vals[:4]))
 
-    with jax.experimental.enable_x64():
+    with jax.enable_x64(True):
         def pack(hi, lo):
             return ((hi.astype(jnp.int64) << 32)
                     | (lo.astype(jnp.int64) & jnp.int64(0xFFFFFFFF)))

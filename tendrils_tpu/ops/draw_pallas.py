@@ -64,6 +64,19 @@ N_WIN = BLOCK // WIN
 # time · wsum), saving a channel.
 N_CHAN = 11
 N_FLOW = 5  # flow channels (vx·α, vy·α, wf·α, α, log(1-α)) lead the stack
+# Sort-operand packing thresholds (module-level so tests can force modes).
+# gather=1: combined 20-bit key|id single operand (small N).
+G1_MAX_ROWS = 1 << 20
+G1_MAX_TILES = 1 << 11
+# gather=3 (big-N resident): key and id share ONE operand
+# (keym << PACK_IDX_BITS | idx_lo); the remaining idx high bits (<= 5)
+# hide in the riding positions' f32 mantissa LSBs (x: 2 bits, y: 3 —
+# <= ~5e-7 px of position noise/frame), dropping the whole id operand
+# from the segment sort (~15 ms/operand at 16.7M rows,
+# scripts/perf_sort_i64.py).
+PACK_IDX_BITS = 19
+PACK_MAX_TILES = 1 << 12
+PACK_MAX_IDS = 1 << 24
 COLOR_MAX = 4.0  # colour channels clamp range for fixed-point
 # Max in-kernel line width: a sample keyed by its segment's bbox-top tile
 # deposits inside that tile's region; REGION_H=32 splits its 16-row margin
@@ -685,6 +698,12 @@ def _pack_core(scal_ref, p0x, p0y, p1x, p1y, vx, vy, posx, posy,
         # stable by row, a free determinism bonus. The splat kernel never
         # reads this stream (it re-derives segment keys from geometry).
         keym_ref[:] = keym * (2 ** 20) + idx
+    elif gather == 3:
+        # Big-N resident packing: low PACK_IDX_BITS of the id share the
+        # key operand; the high bits ride the positions' mantissa LSBs
+        # (doctored in `fused_draw`) and are reassembled post-sort.
+        keym_ref[:] = keym * (2 ** PACK_IDX_BITS) \
+            + (idx & (2 ** PACK_IDX_BITS - 1))
     else:
         keym_ref[:] = keym
         if gather == 2:
@@ -821,6 +840,18 @@ def _bin_and_splat(scal, outs, gather, time, *, tiles_x, pscale,
             if dt == jnp.float32 else r
             for r, dt in zip(sorted_ops[n_sorted + len(gouts):],
                              ride_dtypes)]
+    hi_x = hi_y = None
+    if gather == 3:
+        # Reassemble the id high bits from the positions' LSB channel and
+        # CLEAR it (zeroed LSBs, <= ~5e-7 px — the cleaned values are what
+        # the p1 recompute, the reconstruction and the next frame's state
+        # all see, so every consumer stays self-consistent).
+        xi = jax.lax.bitcast_convert_type(ride[0], jnp.int32)
+        yi = jax.lax.bitcast_convert_type(ride[1], jnp.int32)
+        hi_x = xi & 3
+        hi_y = yi & 7
+        ride[0] = jax.lax.bitcast_convert_type(xi & ~3, jnp.float32)
+        ride[1] = jax.lax.bitcast_convert_type(yi & ~7, jnp.float32)
     if not sort_p1:
         # Recompute the quantised p1 word from the SORTED exact positions
         # (bit-identical to `_pack_core`: same f32 pixel transform, clip,
@@ -850,6 +881,10 @@ def _bin_and_splat(scal, outs, gather, time, *, tiles_x, pscale,
             # The combined key IS (keym << 20 | row id).
             gidx_s = keym & ((1 << 20) - 1)
             keym_plain = keym >> 20
+        elif gather == 3:
+            gidx_s = (keym & (2 ** PACK_IDX_BITS - 1)) \
+                | (hi_x << PACK_IDX_BITS) | (hi_y << (PACK_IDX_BITS + 2))
+            keym_plain = keym >> PACK_IDX_BITS
         else:
             gidx_s = gouts[0]
             keym_plain = keym
@@ -1028,15 +1063,33 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
     num_tiles = (hp // TILE_H) * tiles_x
     if idx is None:
         gather = 0
-    elif n_pad <= (1 << 20) and num_tiles <= (1 << 11) \
+    elif n_pad <= G1_MAX_ROWS and num_tiles <= G1_MAX_TILES \
             and (idx_bound is None or idx_bound <= n):
         # Pad ids start at the LOCAL row count `n` — they only sort last if
         # every real id is below that, which `idx_bound <= n` guarantees
         # (single-chip streams are id-dense; sharded streams carry global
         # ids and fall through to gather=2, where stability orders pads).
         gather = 1
+    elif derive_p0 and ride is not None and n_pad == n \
+            and num_tiles <= PACK_MAX_TILES \
+            and (idx_bound if idx_bound is not None else n) <= PACK_MAX_IDS:
+        # Big-N resident: id low bits share the key operand, high bits
+        # hide in the riding positions' LSBs — no separate id operand
+        # (see the PACK_IDX_BITS comment). Requires no pad rows (the LSB
+        # channel can't mark pads; resident row counts are pow2 BLOCK
+        # multiples, so n_pad == n in practice).
+        gather = 3
     else:
         gather = 2
+    if gather == 3:
+        hi = jax.lax.shift_right_logical(idx, PACK_IDX_BITS)
+        xi = jax.lax.bitcast_convert_type(ride[0], jnp.int32)
+        yi = jax.lax.bitcast_convert_type(ride[1], jnp.int32)
+        ride = list(ride)
+        ride[0] = jax.lax.bitcast_convert_type((xi & ~3) | (hi & 3),
+                                               jnp.float32)
+        ride[1] = jax.lax.bitcast_convert_type((yi & ~7) | (hi >> 2),
+                                               jnp.float32)
 
     scalar_color = mapped_scalar is not None
     if scalar_color:

@@ -160,3 +160,36 @@ def test_resident_with_textured_color_map():
                                atol=1e-3)
     va, vb = np.asarray(a.sim.view), np.asarray(b.sim.view)
     np.testing.assert_allclose(va.sum(), vb.sum(), rtol=1e-2)
+
+
+def test_packed_idx_sort_matches_separate_operand(monkeypatch):
+    """gather=3 (big-N packed key|id + position-LSB high bits) must match
+    gather=2 (separate id operand): same particle set per identity, state
+    within the LSB-theft tolerance (positions lose <= 3 mantissa LSBs,
+    ~5e-7 of NDC range), identical deposited mass."""
+    from tendrils_tpu.ops import draw_pallas as dp
+
+    def run():
+        eng = make_engine(resident=True)
+        for _ in range(4):
+            eng.frame()
+        return eng.sim
+
+    # Force the big-N path at this tiny fixture: gather=1 disabled; first
+    # run takes gather=3 (packing allowed), second gather=2 (tiles gate
+    # fails).
+    monkeypatch.setattr(dp, "G1_MAX_ROWS", 0)
+    sim3 = run()
+    monkeypatch.setattr(dp, "PACK_MAX_TILES", 0)
+    sim2 = run()
+
+    idx3 = np.sort(np.asarray(sim3.idx))
+    np.testing.assert_array_equal(idx3, np.arange(256))
+    p3, p2 = (np.asarray(s.particles)[:, np.argsort(np.asarray(s.idx))]
+              for s in (sim3, sim2))
+    # 4 frames of <= 3-LSB position clearing + sort-order f32 accumulation
+    # differences stay far below the resident-vs-classic tolerance.
+    np.testing.assert_allclose(p3, p2, atol=1e-4)
+    f3, f2 = np.asarray(sim3.flow), np.asarray(sim2.flow)
+    np.testing.assert_allclose(f3[3].sum(), f2[3].sum(), rtol=1e-3)
+    np.testing.assert_allclose(f3[:2], f2[:2], atol=1e-3)
