@@ -65,15 +65,16 @@ import functools
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "steps",
-                                             "fast_resolve"),
+                                             "fast_resolve", "flow_off"),
                    donate_argnums=(0,))
 def _run_scan(sim, params, cfg, view_size, t0, dt, steps,
-              fast_resolve=False):
+              fast_resolve=False, flow_off=False):
     from tendrils_tpu.engine import run_headless
     # No bench config spawns targets — skip riding the targets rows.
-    # fast_resolve is decided host-side (params are traced here).
+    # fast_resolve/flow_off are decided host-side (params are traced here).
     return run_headless(sim, params, cfg, view_size, t0, dt, steps,
-                        targets_live=False, fast_resolve=fast_resolve)
+                        targets_live=False, fast_resolve=fast_resolve,
+                        flow_off=flow_off)
 
 
 def _scan_once(eng, steps, params=None, t0=0.0):
@@ -89,10 +90,13 @@ def _scan_once(eng, steps, params=None, t0=0.0):
     # being caught). run_headless re-seeds the force internally.
     if eng.sim.force is not None:
         eng.sim = dataclasses.replace(eng.sim, force=None)
+    from tendrils_tpu.engine import flow_force_unused
+    flow_off = flow_force_unused(eng.state)
     global _FR_MODE
     try:
         eng.sim = _run_scan(eng.sim, params, eng.config, eng._view_size,
-                            jnp.float32(t0), dt, steps, fast_resolve=_fr(eng))
+                            jnp.float32(t0), dt, steps, fast_resolve=_fr(eng),
+                            flow_off=flow_off)
         float(eng.sim.particles[0, 0])  # force (block_until_ready lies: axon)
     except Exception:
         if _FR_MODE == "0" or not _fr(eng):
@@ -107,7 +111,8 @@ def _scan_once(eng, steps, params=None, t0=0.0):
         if eng.sim.force is not None:
             eng.sim = dataclasses.replace(eng.sim, force=None)
         eng.sim = _run_scan(eng.sim, params, eng.config, eng._view_size,
-                            jnp.float32(t0), dt, steps, fast_resolve=False)
+                            jnp.float32(t0), dt, steps, fast_resolve=False,
+                            flow_off=flow_off)
         float(eng.sim.particles[0, 0])
 
 

@@ -158,6 +158,24 @@ def fast_resolve_ok(cfg: EngineConfig, src=None) -> bool:
     return max(fw, lw, 1.0) <= KMAX_WIDTH
 
 
+def flow_force_unused(src) -> bool:
+    """Host-known `flowWeight == 0`: the logic's flow-force term is exactly
+    zero (parameter variance is multiplicative — `vary(0, ·, ·) == 0`, ref
+    `src/logic.frag:41-43`), so the frame skips the flow gather, the
+    carried-force machinery and the end-of-frame force gather entirely
+    (~0.2 ms of a 1.35 ms frame at config 1's 65k scale). Like
+    `fast_resolve_ok`, this is a trace-time policy read from the host-side
+    state dict: flipping flowWeight between zero and nonzero retraces once.
+    Traced/abstract values keep the general path."""
+    if src is None:
+        return False
+    try:
+        return float(src.get("flowWeight", 1.0)) == 0.0
+    except (TypeError, ValueError, jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError):
+        return False
+
+
 def force_from_aux(flow, aux, params, read_time, cfg: EngineConfig,
                    unsort=True, n=None, eff=None):
     """Gather the next step's flow force from the CURRENT flow grid using
@@ -230,15 +248,27 @@ def initial_force(sim: state_mod.SimState, params, cfg: EngineConfig,
 
 
 def step_sim(sim: state_mod.SimState, params, time, dt, cfg: EngineConfig,
-             view_size):
+             view_size, flow_off=False):
     """Logic step + ping-pong — ref `src/index.js:248-272` +
-    `src/particles.js:123-145`."""
+    `src/particles.js:123-145`.
+
+    `flow_off=True` (host-known `flowWeight == 0`, see `flow_force_unused`):
+    the logic's flow term is exactly zero — parameter variance is
+    multiplicative (ref `src/logic.frag:41-43`) — so the flow sampling is
+    skipped entirely (no decay pass, no gather)."""
     uv, index01, _ = state_mod.particle_coords_from_idx(sim.idx,
                                                         cfg.root_num)
     if cfg.gather_backend not in ("xla", "pallas"):
         raise ValueError(f"unknown gather backend: {cfg.gather_backend}")
     flow_force_fn = None
-    if sim.force is not None:
+    if flow_off:
+
+        def flow_force_fn(pos_screen):
+            del pos_screen
+            return jnp.float32(0.0)
+
+        flows = None
+    elif sim.force is not None:
         # Carried force: pre-gathered at the end of the previous frame from
         # the final flow grid at these exact positions (see `force_from_aux`)
         # — no gather at all here. Consumed once: positions move this step,
@@ -716,7 +746,8 @@ class Tendrils:
             self.sim = _step_jit(self.sim, self.params(),
                                  jnp.float32(self.timer.time),
                                  jnp.float32(self.timer.dt), self.config,
-                                 self._view_size)
+                                 self._view_size,
+                                 flow_off=flow_force_unused(self.state))
         return self
 
     def draw(self):
@@ -724,7 +755,8 @@ class Tendrils:
         self.sim = _draw_jit(self.sim, self.params(),
                              jnp.float32(self.timer.time),
                              jnp.float32(self.timer.dt), self.config,
-                             self._view_size)
+                             self._view_size,
+                             flow_off=flow_force_unused(self.state))
         return self
 
     def step_draw(self):
@@ -741,7 +773,8 @@ class Tendrils:
                               self._view_size,
                               targets_live=self._targets_live,
                               fast_resolve=fast_resolve_ok(self.config,
-                                                           self.state))
+                                                           self.state),
+                              flow_off=flow_force_unused(self.state))
         return self
 
     def frame(self):
@@ -757,7 +790,8 @@ class Tendrils:
                               self._view_size,
                               targets_live=self._targets_live,
                               fast_resolve=fast_resolve_ok(self.config,
-                                                           self.state))
+                                                           self.state),
+                              flow_off=flow_force_unused(self.state))
         return self
 
     # -- spawning
@@ -899,7 +933,8 @@ class Tendrils:
             self.config, self._view_size,
             cm, color_alphas, seg, of, blur_t, bokeh_t,
             stepping=not paused, targets_live=self._targets_live,
-            fast_resolve=fast_resolve_ok(self.config, self.state))
+            fast_resolve=fast_resolve_ok(self.config, self.state),
+            flow_off=flow_force_unused(self.state))
         return screen
 
     def composite_flow(self, payload_grid):
@@ -986,14 +1021,17 @@ class Tendrils:
 # --- jitted cores -----------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def _step_jit(sim, params, time, dt, cfg, view_size):
-    return step_sim(sim, params, time, dt, cfg, view_size)
+@functools.partial(jax.jit, static_argnames=("cfg", "flow_off"),
+                   donate_argnums=(0,))
+def _step_jit(sim, params, time, dt, cfg, view_size, flow_off=False):
+    return step_sim(sim, params, time, dt, cfg, view_size,
+                    flow_off=flow_off)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def _draw_jit(sim, params, time, dt, cfg, view_size):
-    if not carry_enabled(cfg):
+@functools.partial(jax.jit, static_argnames=("cfg", "flow_off"),
+                   donate_argnums=(0,))
+def _draw_jit(sim, params, time, dt, cfg, view_size, flow_off=False):
+    if not carry_enabled(cfg) or flow_off:
         if sim.force is not None:
             sim = dataclasses.replace(sim, force=None)
         return draw_sim(sim, params, time, cfg, view_size)
@@ -1003,22 +1041,32 @@ def _draw_jit(sim, params, time, dt, cfg, view_size):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "targets_live",
-                                             "fast_resolve"),
+                                             "fast_resolve", "flow_off"),
                    donate_argnums=(0,))
 def _frame_jit(sim, params, time, dt, cfg, view_size,
-               targets_live=True, fast_resolve=False):
+               targets_live=True, fast_resolve=False, flow_off=False):
     if not carry_enabled(cfg):
-        sim = step_sim(sim, params, time, dt, cfg, view_size)
+        sim = step_sim(sim, params, time, dt, cfg, view_size,
+                       flow_off=flow_off)
         return draw_sim(sim, params, time, cfg, view_size, stepped=True,
                         fast_resolve=fast_resolve)
     resident = resident_enabled(cfg)
-    sim = step_sim(sim, params, time, dt, cfg, view_size)
+    sim = step_sim(sim, params, time, dt, cfg, view_size, flow_off=flow_off)
+    if flow_off and not resident:
+        # Nothing consumes the flow force (`flow_force_unused`) — skip the
+        # aux stream and the force gather outright.
+        return draw_sim(sim, params, time, cfg, view_size, stepped=True,
+                        fast_resolve=fast_resolve)
     out = draw_sim(sim, params, time, cfg, view_size,
                    want_aux=True, resident=resident,
                    targets_live=targets_live, stepped=True,
                    fast_resolve=fast_resolve, read_time=time + dt,
-                   want_eff=fast_resolve, want_force=resident)
-    if resident:  # fused gather+reconstruct set sim.force in the draw
+                   want_eff=fast_resolve and not flow_off,
+                   want_force=resident and not flow_off)
+    if resident:
+        # Fused gather+reconstruct set sim.force in the draw (or, with
+        # flow_off, the frame legitimately carries no force — the next
+        # step skips the flow term entirely).
         return out[0]
     sim, aux = out[:2]
     eff = out[2] if len(out) > 2 else None
@@ -1041,11 +1089,11 @@ def _inject_flow(flow, p0_pix, p1_pix, vel, width, params, time, cfg,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "stepping",
                                              "targets_live",
-                                             "fast_resolve"),
+                                             "fast_resolve", "flow_off"),
                    donate_argnums=(0,))
 def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
                   seg, of, blur, bokeh=None, stepping=True,
-                  targets_live=True, fast_resolve=False):
+                  targets_live=True, fast_resolve=False, flow_off=False):
     """One-dispatch interactive frame: [colormap blend] + step + draw +
     [flow-line inject] + [optical flow] + [vignette blur]. Optional stages
     are `None` (absence is part of the jit cache key via the pytree
@@ -1053,7 +1101,7 @@ def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
 
     `stepping=False` (paused timer) skips only the logic step — the draw
     and every io stage still land, like the reference's paused loop."""
-    carry = carry_enabled(cfg) and stepping
+    carry = carry_enabled(cfg) and stepping and not flow_off
     if not carry and sim.force is not None:
         sim = dataclasses.replace(sim, force=None)
 
@@ -1075,12 +1123,15 @@ def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
     # only when nothing edits the flow between this draw and the gather;
     # the same condition lets the resident frame fuse the gather into the
     # draw outright (`want_force` — sim.force comes back already set).
-    want_eff = fast_resolve and seg is None and of is None
-    want_force = resident and seg is None and of is None
+    want_eff = fast_resolve and seg is None and of is None and not flow_off
+    want_force = resident and seg is None and of is None and not flow_off
     if not stepping:
         sim = draw_sim(sim, params, time, cfg, view_size)
-    elif carry:
-        sim = step_sim(sim, params, time, dt, cfg, view_size)
+    elif carry or (resident and flow_off):
+        # (resident + flow_off: no force is gathered, but the state still
+        # rides the draw's segment sort so rows stay tile-ordered.)
+        sim = step_sim(sim, params, time, dt, cfg, view_size,
+                       flow_off=flow_off)
         out = draw_sim(sim, params, time, cfg, view_size,
                        want_aux=True, resident=resident,
                        targets_live=targets_live, stepped=True,
@@ -1088,10 +1139,12 @@ def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
                        want_eff=want_eff, want_force=want_force)
         sim, aux = out[:2]
         eff = out[2] if len(out) > 2 else None
-        if want_force:
-            aux = None  # the fused draw already set sim.force
+        if want_force or flow_off:
+            aux = None  # the fused draw already set sim.force (or none
+            # is needed — `flow_force_unused`)
     else:
-        sim = step_sim(sim, params, time, dt, cfg, view_size)
+        sim = step_sim(sim, params, time, dt, cfg, view_size,
+                       flow_off=flow_off)
         sim = draw_sim(sim, params, time, cfg, view_size, stepped=True,
                        fast_resolve=fast_resolve)
 
@@ -1136,7 +1189,7 @@ def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
 
 
 def run_headless(sim, params, cfg: EngineConfig, view_size, t0, dt, steps,
-                 targets_live=True, fast_resolve=None):
+                 targets_live=True, fast_resolve=None, flow_off=False):
     """Fixed-step headless run under `lax.scan` (SURVEY §7 pillar 2).
 
     Only the leaves a frame actually mutates ride the scan carry —
@@ -1148,7 +1201,7 @@ def run_headless(sim, params, cfg: EngineConfig, view_size, t0, dt, steps,
     enabled) is seeded with a standalone gather so the carry structure is
     scan-stable. Returns the final state.
     """
-    carry = carry_enabled(cfg)
+    carry = carry_enabled(cfg) and not flow_off
     if carry and sim.force is None:
         sim = dataclasses.replace(
             sim, force=initial_force(sim, params, cfg, view_size, t0 + dt))
@@ -1161,14 +1214,18 @@ def run_headless(sim, params, cfg: EngineConfig, view_size, t0, dt, steps,
 
     def body(sim, i):
         time = t0 + dt * (i + 1)
-        if carry:
-            sim = step_sim(sim, params, time, dt, cfg, view_size)
+        if carry or (resident and flow_off):
+            sim = step_sim(sim, params, time, dt, cfg, view_size,
+                           flow_off=flow_off)
             out = draw_sim(sim, params, time, cfg, view_size,
                            want_aux=True, resident=resident,
                            targets_live=targets_live, stepped=True,
                            fast_resolve=fast_resolve, read_time=time + dt,
-                           want_eff=fast_resolve, want_force=resident)
-            if resident:  # fused gather+reconstruct set sim.force
+                           want_eff=fast_resolve and not flow_off,
+                           want_force=resident and not flow_off)
+            if resident:
+                # Fused gather+reconstruct set sim.force (or flow_off
+                # legitimately carries none — the step skips the flow term).
                 return out[0], ()
             sim, aux = out[:2]
             eff = out[2] if len(out) > 2 else None
@@ -1176,7 +1233,8 @@ def run_headless(sim, params, cfg: EngineConfig, view_size, t0, dt, steps,
                                    unsort=not resident, eff=eff)
             sim = dataclasses.replace(sim, force=force)
         else:
-            sim = step_sim(sim, params, time, dt, cfg, view_size)
+            sim = step_sim(sim, params, time, dt, cfg, view_size,
+                           flow_off=flow_off)
             sim = draw_sim(sim, params, time, cfg, view_size, stepped=True,
                            fast_resolve=fast_resolve)
         return sim, ()

@@ -172,3 +172,52 @@ def test_carry_io_frame_sees_injections():
     base = run(False)
     pushed = run(True)
     assert np.abs(pushed - base).max() > 1e-7
+
+
+def test_flow_off_gate_matches_general_path():
+    """`flow_force_unused` (host-known flowWeight == 0) must not change
+    trajectories: the flow term the gate skips is exactly `force * 0`
+    (variance is multiplicative), so particle state matches the ungated
+    frame bit-for-bit; flow/view agree within the draw-variant tolerance
+    (the gated draw skips the want_eff/want_force outputs)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tendrils_tpu import engine as eng_mod
+
+    def run(flow_off):
+        eng = make(carry=True, frames=0)
+        eng.state["flowWeight"] = 0.0
+        assert eng_mod.flow_force_unused(eng.state) is True
+        for _ in range(4):
+            eng.timer.tick()
+            eng._check_force_params()
+            eng.sim = eng_mod._frame_jit(
+                eng.sim, eng.params(), jnp.float32(eng.timer.time),
+                jnp.float32(eng.timer.dt), eng.config, eng._view_size,
+                targets_live=False,
+                fast_resolve=eng_mod.fast_resolve_ok(eng.config, eng.state),
+                flow_off=flow_off)
+        return eng.sim
+
+    a, b = run(True), run(False)
+    # Identity-aligned exact state match (rows may sort differently only
+    # if the draw variant changed sort ties — align by idx).
+    pa = np.asarray(a.particles)[:, np.argsort(np.asarray(a.idx))]
+    pb = np.asarray(b.particles)[:, np.argsort(np.asarray(b.idx))]
+    np.testing.assert_array_equal(pa, pb)
+    np.testing.assert_allclose(np.asarray(a.flow), np.asarray(b.flow),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.view), np.asarray(b.view),
+                               atol=1e-5)
+    assert a.force is None
+
+
+def test_flow_off_flag_is_off_when_flow_active():
+    from tendrils_tpu.engine import flow_force_unused
+    assert flow_force_unused({"flowWeight": 1.0}) is False
+    assert flow_force_unused({"flowWeight": 0.0}) is True
+    assert flow_force_unused({}) is False
+    assert flow_force_unused(None) is False
