@@ -879,8 +879,11 @@ def _bin_and_splat(scal, outs, gather, time, *, tiles_x, pscale,
             return [jnp.concatenate([e[0], mm.reshape(-1), e[1]])
                     for e, mm in zip(ends, mid)]
 
-        branch = jnp.where(sort_phase % PAIR_FLAT_EVERY == 0,
-                           0, 1 + (sort_phase & 1))
+        # The phase may arrive as the scan's f32 loop index (run_headless
+        # carries frame time as f32) — coerce before the bit test.
+        phase = jnp.asarray(sort_phase).astype(jnp.int32)
+        branch = jnp.where(phase % PAIR_FLAT_EVERY == 0,
+                           0, 1 + (phase & 1))
         sorted_ops = jax.lax.switch(branch, [_flat, _aligned, _offset],
                                     ops_all)
     elif chunks > 1:

@@ -236,3 +236,36 @@ def test_pair_merge_sort_matches_flat(monkeypatch):
     np.testing.assert_allclose(fp[:2], ff[:2], atol=1e-3)
     np.testing.assert_allclose(np.asarray(simp.view).sum(),
                                np.asarray(simf.view).sum(), rtol=1e-2)
+
+
+def test_pair_merge_sort_under_scan(monkeypatch):
+    """`run_headless` threads the f32 `lax.scan` index as `sort_phase`; the
+    phase must coerce to int before the `& 1` bit test (regression: the
+    round-5 TPU battery hit a trace-time TypeError — the host-loop
+    `eng.frame()` path fed ints and never exercised this). Pins the scan
+    path end-to-end against the flat control per identity."""
+    import dataclasses
+
+    from tendrils_tpu import engine as eng_mod
+    from tendrils_tpu.ops import draw_pallas as dp
+
+    monkeypatch.setattr(dp, "G1_MAX_ROWS", 0)
+
+    def run(pairs, steps=5):
+        monkeypatch.setattr(dp, "SORT_PAIRS", pairs)
+        eng = make_engine(resident=True, root=144)
+        sim = dataclasses.replace(eng.sim, force=None)
+        return eng_mod.run_headless(sim, eng.params(), eng.config,
+                                    eng._view_size, 0.0, 1000.0 / 60.0,
+                                    steps, targets_live=False)
+
+    simp = run(6)
+    simf = run(0)
+    n = 144 * 144
+    np.testing.assert_array_equal(np.sort(np.asarray(simp.idx)),
+                                  np.arange(n))
+    pp, pf = (np.asarray(s.particles)[:, np.argsort(np.asarray(s.idx))]
+              for s in (simp, simf))
+    np.testing.assert_allclose(pp, pf, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(simp.flow)[3].sum(),
+                               np.asarray(simf.flow)[3].sum(), rtol=1e-3)
