@@ -260,7 +260,11 @@ def _bench_4(on_tpu):
         img[:, (i * 8) % 600:(i * 8) % 600 + 40] = 255
         return media.image_to_grid(img, keep_u8=True)
 
-    steps_dev = 30 if on_tpu else 2
+    # 90 steps: the ONE dispatch still costs the ~24 ms tunnel roundtrip,
+    # which the scan amortises to ~0.27 ms/step (at 30 steps it was
+    # 0.8 ms/step — a third of the gap to the 4.16 ms bar was the tunnel,
+    # not the chip; decomposition in scripts/perf_c4_device.py).
+    steps_dev = 90 if on_tpu else 2
     stack = jnp.asarray(np.stack([bar_grid(i)
                                   for i in range(steps_dev + 1)]))
     float(stack[0, 0, 0, 0].astype(jnp.float32))  # land the upload

@@ -136,16 +136,6 @@ def resident_enabled(cfg: EngineConfig) -> bool:
     return carry_enabled(cfg) and cfg.resident_stream
 
 
-def pair_sort_enabled(cfg: EngineConfig) -> bool:
-    """Whether the odd-even pair-merge segment sort is active
-    (`TT_SORT_PAIRS` >= 4 chunks; resident-stream frames only — the mode
-    exploits rows entering the draw in the previous frame's sorted order;
-    see `draw_pallas.SORT_PAIRS`). When active the frame helpers thread a
-    per-frame phase counter into the draw's segment sort."""
-    from .ops import draw_pallas
-    return draw_pallas.SORT_PAIRS >= 4 and resident_enabled(cfg)
-
-
 def fast_resolve_ok(cfg: EngineConfig, src=None) -> bool:
     """Whether the fused Pallas resolve can run: fused pallas draw path, an
     aligned grid, and host-known line widths within the in-kernel budget
@@ -330,8 +320,7 @@ def step_sim(sim: state_mod.SimState, params, time, dt, cfg: EngineConfig,
 def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
              view_size, axis_name=None, want_aux=False, resident=False,
              targets_live=True, stepped=False, fast_resolve=False,
-             read_time=None, want_eff=False, want_force=False,
-             sort_phase=None):
+             read_time=None, want_eff=False, want_force=False):
     """Flow + view render passes — ref `src/index.js:278-340`.
 
     With `axis_name` set (data-parallel shard_map over particles), the splat
@@ -481,7 +470,6 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
             mapped_scalar=mapped_scalar,
             resolve=("pallas" if presolve else "xla"),
             read_time=read_time, want_eff=want_eff,
-            sort_phase=sort_phase,
             psum=(None if axis_name is None
                   else functools.partial(jax.lax.psum,
                                          axis_name=axis_name)))
@@ -604,9 +592,6 @@ class Tendrils:
             self.timer.step = 1000.0 / 60.0  # ref src/index.js:67
         self.seed = seed
         self.sim: state_mod.SimState | None = None
-        # Monotone frame counter for the pair-merge sort's phase (traced
-        # scalar — changing it never retraces; see `pair_sort_enabled`).
-        self._frame_no = 0
         self._pcache = {}  # params() device-scalar cache (see params())
         self._setup_static()
 
@@ -774,17 +759,6 @@ class Tendrils:
                              flow_off=flow_force_unused(self.state))
         return self
 
-    def _sort_phase(self):
-        """Per-frame phase for the pair-merge segment sort (None when the
-        mode is off — the draw then uses the flat/chunked policy). Frame 0
-        and every `PAIR_FLAT_EVERY`-th frame run the flat global sort, so
-        a fresh/respawned stream converges immediately."""
-        if not pair_sort_enabled(self.config):
-            return None
-        phase = self._frame_no
-        self._frame_no += 1
-        return jnp.int32(phase)
-
     def step_draw(self):
         """step + draw in ONE device dispatch (no timer tick) — for hosts
         that tick timers themselves (the demo loop); halves per-frame
@@ -800,8 +774,7 @@ class Tendrils:
                               targets_live=self._targets_live,
                               fast_resolve=fast_resolve_ok(self.config,
                                                            self.state),
-                              flow_off=flow_force_unused(self.state),
-                              sort_phase=self._sort_phase())
+                              flow_off=flow_force_unused(self.state))
         return self
 
     def frame(self):
@@ -818,8 +791,7 @@ class Tendrils:
                               targets_live=self._targets_live,
                               fast_resolve=fast_resolve_ok(self.config,
                                                            self.state),
-                              flow_off=flow_force_unused(self.state),
-                              sort_phase=self._sort_phase())
+                              flow_off=flow_force_unused(self.state))
         return self
 
     # -- spawning
@@ -962,8 +934,7 @@ class Tendrils:
             cm, color_alphas, seg, of, blur_t, bokeh_t,
             stepping=not paused, targets_live=self._targets_live,
             fast_resolve=fast_resolve_ok(self.config, self.state),
-            flow_off=flow_force_unused(self.state),
-            sort_phase=(None if paused else self._sort_phase()))
+            flow_off=flow_force_unused(self.state))
         return screen
 
     def composite_flow(self, payload_grid):
@@ -1073,8 +1044,7 @@ def _draw_jit(sim, params, time, dt, cfg, view_size, flow_off=False):
                                              "fast_resolve", "flow_off"),
                    donate_argnums=(0,))
 def _frame_jit(sim, params, time, dt, cfg, view_size,
-               targets_live=True, fast_resolve=False, flow_off=False,
-               sort_phase=None):
+               targets_live=True, fast_resolve=False, flow_off=False):
     if not carry_enabled(cfg):
         sim = step_sim(sim, params, time, dt, cfg, view_size,
                        flow_off=flow_off)
@@ -1092,8 +1062,7 @@ def _frame_jit(sim, params, time, dt, cfg, view_size,
                    targets_live=targets_live, stepped=True,
                    fast_resolve=fast_resolve, read_time=time + dt,
                    want_eff=fast_resolve and not flow_off,
-                   want_force=resident and not flow_off,
-                   sort_phase=sort_phase)
+                   want_force=resident and not flow_off)
     if resident:
         # Fused gather+reconstruct set sim.force in the draw (or, with
         # flow_off, the frame legitimately carries no force — the next
@@ -1124,8 +1093,7 @@ def _inject_flow(flow, p0_pix, p1_pix, vel, width, params, time, cfg,
                    donate_argnums=(0,))
 def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
                   seg, of, blur, bokeh=None, stepping=True,
-                  targets_live=True, fast_resolve=False, flow_off=False,
-                  sort_phase=None):
+                  targets_live=True, fast_resolve=False, flow_off=False):
     """One-dispatch interactive frame: [colormap blend] + step + draw +
     [flow-line inject] + [optical flow] + [vignette blur]. Optional stages
     are `None` (absence is part of the jit cache key via the pytree
@@ -1168,8 +1136,7 @@ def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
                        want_aux=True, resident=resident,
                        targets_live=targets_live, stepped=True,
                        fast_resolve=fast_resolve, read_time=time + dt,
-                       want_eff=want_eff, want_force=want_force,
-                       sort_phase=sort_phase)
+                       want_eff=want_eff, want_force=want_force)
         sim, aux = out[:2]
         eff = out[2] if len(out) > 2 else None
         if want_force or flow_off:
@@ -1234,7 +1201,6 @@ def run_headless(sim, params, cfg: EngineConfig, view_size, t0, dt, steps,
     enabled) is seeded with a standalone gather so the carry structure is
     scan-stable. Returns the final state.
     """
-    pair_sort = pair_sort_enabled(cfg)
     carry = carry_enabled(cfg) and not flow_off
     if carry and sim.force is None:
         sim = dataclasses.replace(
@@ -1256,8 +1222,7 @@ def run_headless(sim, params, cfg: EngineConfig, view_size, t0, dt, steps,
                            targets_live=targets_live, stepped=True,
                            fast_resolve=fast_resolve, read_time=time + dt,
                            want_eff=fast_resolve and not flow_off,
-                           want_force=resident and not flow_off,
-                           sort_phase=(i if pair_sort else None))
+                           want_force=resident and not flow_off)
             if resident:
                 # Fused gather+reconstruct set sim.force (or flow_off
                 # legitimately carries none — the step skips the flow term).

@@ -118,38 +118,20 @@ _BIG = 2 ** 30  # sentinel key (plain int: jnp constants can't be captured
 # ledger). TT_SORT_CHUNKS: 0 = auto policy, else an explicit chunk count.
 SORT_CHUNKS = int(os.environ.get("TT_SORT_CHUNKS", "0"))
 
-# Odd-even PAIR-MERGE segment sort (resident streams): rows enter the draw
-# in the PREVIOUS frame's sorted order (resident-stream mode), so a full
-# global re-sort mostly re-derives what it was handed. TT_SORT_PAIRS=<C>
-# splits the stream into C chunks and, each frame, fully sorts chunk PAIRS
-# with an alternating pairing phase (odd-even transposition at chunk
-# granularity): per-block sortedness — all the splat kernel needs — is
-# exact (blocks never span a pair), near-global order is maintained
-# (strays migrate one chunk per frame, unlike chunk-local sorts where a
-# row that drifts across a boundary never returns), and every
-# PAIR_FLAT_EVERY-th frame runs the flat global sort to repair far strays
-# (respawns/teleports). Batched [C/2, 2m] sorts cut the bitonic
-# comparator depth like SORT_CHUNKS without its unbounded locality decay.
-# 0 disables (default until measured end-to-end — see SORT_CHUNKS above
-# for why chunk-local sorting lost).
-SORT_PAIRS = int(os.environ.get("TT_SORT_PAIRS", "0"))
-PAIR_FLAT_EVERY = 64
+# An odd-even PAIR-MERGE segment sort (alternating-phase chunk-pair sorts
+# exploiting the resident stream's frame-coherent order) was built and
+# measured end-to-end at 16M/4K (battery r5a, BENCHMARKS.md round 5): the
+# extra region-DMA visits from pads/strays spread across every chunk pair
+# cost ~1.7x the flat sort's frame (353.6 vs 208.1 ms/step) — DELETED, the
+# flat global sort stays the policy at every scale.
 
-
-def _pair_chunks(n_pad, seg_block):
-    """Resolve the pair-merge chunk count: the largest EVEN divisor of the
-    block count <= the request with at least 4 chunks (the offset phase
-    needs two end singles + >= 1 middle pair). Returns 0 when disabled or
-    unsatisfiable."""
-    want = SORT_PAIRS
-    if want < 4:
-        return 0
-    blocks = n_pad // seg_block
-    c = min(want, blocks)
-    while c >= 4 and (blocks % c or c % 2):
-        c -= 1
-    return c if c >= 4 else 0
-
+# Splat A/X build-cost DIAGNOSTIC (VERDICT r4 #6): "x" replaces the
+# per-visit X-matrix cover build with a loop-invariant constant, "a" the
+# A-matrix cover/channel stack, "ax" both. TIMING PROBE ONLY — deposited
+# output is wrong when set; never enable in production. Isolates the VPU
+# build cost of a window visit from its MXU dot + region DMA
+# (`scripts/perf_xbuild.py` records the measurement in BENCHMARKS.md).
+SPLAT_NOBUILD = os.environ.get("TT_SPLAT_NOBUILD", "")
 
 # Splat window matmul shape: 1 = merge the samples into the contraction
 # axis (ONE [chs·H, samples·win]×[samples·win, W] dot per window — fewer,
@@ -454,21 +436,31 @@ def _kernel(scal_ref, keym_ref, *rest, tiles_x, pscale, samples, h, w,
                     gxls = [gxs[s][sl] - col0 for s in range(samples)]
 
                     def group(ch_lo, ch_hi, hw, inv_w, reg_lo, reg_hi):
-                        a_rows = [cover(rows, gyls[s][None, :], hw)
-                                  * (livews[s] * inv_w)[None, :]
-                                  for s in range(samples)]
-                        # [chs·H, samples·win]: channels stack on rows,
-                        # samples concatenate along K.
-                        a_mat = jnp.concatenate(
-                            [jnp.concatenate(
-                                [a_rows[s] * chans[s][ch][sl][None, :]
-                                 for s in range(samples)], axis=1)
-                             for ch in range(ch_lo, ch_hi)],
-                            axis=0).astype(jnp.bfloat16)
-                        x_mat = jnp.concatenate(
-                            [cover(cols, gxls[s][:, None], hw)
-                             for s in range(samples)],
-                            axis=0).astype(jnp.bfloat16)
+                        if "a" in SPLAT_NOBUILD:  # diagnostic, see flag
+                            a_mat = jnp.full(
+                                ((ch_hi - ch_lo) * REGION_H,
+                                 samples * win), 0.001, jnp.bfloat16)
+                        else:
+                            a_rows = [cover(rows, gyls[s][None, :], hw)
+                                      * (livews[s] * inv_w)[None, :]
+                                      for s in range(samples)]
+                            # [chs·H, samples·win]: channels stack on rows,
+                            # samples concatenate along K.
+                            a_mat = jnp.concatenate(
+                                [jnp.concatenate(
+                                    [a_rows[s] * chans[s][ch][sl][None, :]
+                                     for s in range(samples)], axis=1)
+                                 for ch in range(ch_lo, ch_hi)],
+                                axis=0).astype(jnp.bfloat16)
+                        if "x" in SPLAT_NOBUILD:  # diagnostic, see flag
+                            x_mat = jnp.full(
+                                (samples * win, REGION_W), 0.001,
+                                jnp.bfloat16)
+                        else:
+                            x_mat = jnp.concatenate(
+                                [cover(cols, gxls[s][:, None], hw)
+                                 for s in range(samples)],
+                                axis=0).astype(jnp.bfloat16)
                         contrib = jnp.dot(
                             a_mat, x_mat,
                             preferred_element_type=jnp.float32)
@@ -793,7 +785,7 @@ def _pack_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
 def _bin_and_splat(scal, outs, gather, time, *, tiles_x, pscale,
                    samples, h, w, hp, wp, n_pad, interpret, ride=None,
                    derive_p0=False, scalar_color=False, raw_accum=False,
-                   stable=True, p1_from_ride=None, sort_phase=None):
+                   stable=True, p1_from_ride=None):
     """Shared pipeline tail: segment sort (with the optional gather
     stream), segment-direct splat kernel, payload reassembly. Returns
     (flow_parts, view_parts, aux, ride_sorted).
@@ -847,46 +839,8 @@ def _bin_and_splat(scal, outs, gather, time, *, tiles_x, pscale,
     # else ties are additive deposits / id-tracked rows, where any
     # deterministic order is equally valid.
     ops_all = seg_ops + gouts + ride
-    pair_c = (_pair_chunks(n_pad, BLOCK // samples)
-              if sort_phase is not None else 0)
     chunks = _sort_chunks(n_pad, BLOCK // samples)
-    if pair_c:
-        # Odd-even pair-merge (see SORT_PAIRS). Pads stay GLOBALLY last in
-        # every branch: they enter as the last rows with the max (corner
-        # -tile) key, and the last chunk is the tail of a sorted pair
-        # (aligned), a stand-alone sorted single (offset), or the flat
-        # sort's tail — `p1_from_ride`'s position-based pad detection
-        # stays sound.
-        m = n_pad // pair_c
-
-        def _flat(ops):
-            return list(jax.lax.sort(ops, num_keys=1, is_stable=stable))
-
-        def _aligned(ops):
-            s = jax.lax.sort([o.reshape(pair_c // 2, 2 * m) for o in ops],
-                             num_keys=1, is_stable=stable)
-            return [o.reshape(-1) for o in s]
-
-        def _offset(ops):
-            # End chunks sort alone (one batched [2, m] call); middle
-            # chunks pair across the aligned-phase boundaries.
-            ends = jax.lax.sort(
-                [jnp.stack([o[:m], o[n_pad - m:]]) for o in ops],
-                num_keys=1, is_stable=stable)
-            mid = jax.lax.sort(
-                [o[m:n_pad - m].reshape((pair_c - 2) // 2, 2 * m)
-                 for o in ops], num_keys=1, is_stable=stable)
-            return [jnp.concatenate([e[0], mm.reshape(-1), e[1]])
-                    for e, mm in zip(ends, mid)]
-
-        # The phase may arrive as the scan's f32 loop index (run_headless
-        # carries frame time as f32) — coerce before the bit test.
-        phase = jnp.asarray(sort_phase).astype(jnp.int32)
-        branch = jnp.where(phase % PAIR_FLAT_EVERY == 0,
-                           0, 1 + (phase & 1))
-        sorted_ops = jax.lax.switch(branch, [_flat, _aligned, _offset],
-                                    ops_all)
-    elif chunks > 1:
+    if chunks > 1:
         # Batched chunk sort (see SORT_CHUNKS): per-block sortedness is all
         # the splat kernel needs, and blocks never span a chunk boundary.
         # Pad rows live in the last chunk and still sort to its end.
@@ -1048,8 +1002,7 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
                           line_width=1.0, speed_alpha=1.0, sin_decay=0.0,
                           flow_decay=0.0, base_color=None, flow_color=None,
                           derive_p0=False, view_size=None,
-                          mapped_scalar=None, raw_accum=False,
-                          sort_phase=None):
+                          mapped_scalar=None, raw_accum=False):
     """Accumulate both passes' splats.
 
     `p0_pix`/`p1_pix`: `f32[N, 2]` segment endpoints (window px of the shared
@@ -1227,8 +1180,7 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
         # Resident rides lead with the exact positions — drop the p1
         # operand from the sort and recompute it post-sort (one fewer
         # 16M-row stream through the bitonic network).
-        p1_from_ride=(n if derive_p0 and ride else None),
-        sort_phase=sort_phase)
+        p1_from_ride=(n if derive_p0 and ride else None))
     if ride is not None:
         return flow_parts, view_parts, aux, ride_s
     if idx is None:
@@ -1515,8 +1467,7 @@ def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
                idx=None, ride=None,
                idx_bound=None, psum=None,
                derive_p0=False, view_size=None, mapped_scalar=None,
-               resolve="xla", read_time=None, want_eff=False,
-               sort_phase=None):
+               resolve="xla", read_time=None, want_eff=False):
     """Full fused draw: accumulate with in-kernel per-pass line widths
     (`flowWidth` for the flow deposit, `lineWidth` for the view deposit —
     ref `src/index.js:302,336` set `gl.lineWidth` per pass) and the in-kernel
@@ -1553,7 +1504,7 @@ def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
         sin_decay=jnp.sin(time * params["flowDecay"]),
         flow_decay=params["flowDecay"],
         base_color=params["baseColor"], flow_color=params["flowColor"],
-        raw_accum=pallas_resolve, sort_phase=sort_phase)
+        raw_accum=pallas_resolve)
     if pallas_resolve:
         accum = out[0]
         if psum is not None:

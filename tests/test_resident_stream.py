@@ -193,79 +193,3 @@ def test_packed_idx_sort_matches_separate_operand(monkeypatch):
     f3, f2 = np.asarray(sim3.flow), np.asarray(sim2.flow)
     np.testing.assert_allclose(f3[3].sum(), f2[3].sum(), rtol=1e-3)
     np.testing.assert_allclose(f3[:2], f2[:2], atol=1e-3)
-
-
-def test_pair_merge_sort_matches_flat(monkeypatch):
-    """TT_SORT_PAIRS (odd-even pair-merge segment sort): frames alternating
-    flat/aligned/offset phases must match the flat-sort frames — same
-    particle set per identity, state within sort-order f32 accumulation
-    tolerance, identical deposited mass. root=144 gives PAD rows (n_pad >
-    n), pinning that pads stay globally last through every phase (the
-    p1_from_ride pad detection is positional); G1_MAX_ROWS=0 forces the
-    big-N gather=3 packing the mode targets."""
-    from tendrils_tpu import engine as eng_mod
-    from tendrils_tpu.ops import draw_pallas as dp
-
-    def run(pairs):
-        monkeypatch.setattr(dp, "SORT_PAIRS", pairs)
-        eng = make_engine(resident=True, root=144)
-        assert eng_mod.pair_sort_enabled(eng.config) == (pairs >= 4)
-        for _ in range(6):
-            eng.frame()
-        if pairs:
-            assert eng._frame_no == 6  # phases 0(flat),1,2,... were fed
-        return eng.sim
-
-    monkeypatch.setattr(dp, "G1_MAX_ROWS", 0)
-    n_pad = 24576  # 144^2 -> 6 chunks of 4096 (seg_block), pads in the last
-    assert dp._pair_chunks(n_pad, 4096) == 0  # default off
-    monkeypatch.setattr(dp, "SORT_PAIRS", 6)
-    assert dp._pair_chunks(n_pad, 4096) == 6
-
-    simp = run(6)
-    simf = run(0)
-
-    n = 144 * 144
-    np.testing.assert_array_equal(np.sort(np.asarray(simp.idx)),
-                                  np.arange(n))
-    pp, pf = (np.asarray(s.particles)[:, np.argsort(np.asarray(s.idx))]
-              for s in (simp, simf))
-    np.testing.assert_allclose(pp, pf, atol=1e-4)
-    fp, ff = np.asarray(simp.flow), np.asarray(simf.flow)
-    np.testing.assert_allclose(fp[3].sum(), ff[3].sum(), rtol=1e-3)
-    np.testing.assert_allclose(fp[:2], ff[:2], atol=1e-3)
-    np.testing.assert_allclose(np.asarray(simp.view).sum(),
-                               np.asarray(simf.view).sum(), rtol=1e-2)
-
-
-def test_pair_merge_sort_under_scan(monkeypatch):
-    """`run_headless` threads the f32 `lax.scan` index as `sort_phase`; the
-    phase must coerce to int before the `& 1` bit test (regression: the
-    round-5 TPU battery hit a trace-time TypeError — the host-loop
-    `eng.frame()` path fed ints and never exercised this). Pins the scan
-    path end-to-end against the flat control per identity."""
-    import dataclasses
-
-    from tendrils_tpu import engine as eng_mod
-    from tendrils_tpu.ops import draw_pallas as dp
-
-    monkeypatch.setattr(dp, "G1_MAX_ROWS", 0)
-
-    def run(pairs, steps=5):
-        monkeypatch.setattr(dp, "SORT_PAIRS", pairs)
-        eng = make_engine(resident=True, root=144)
-        sim = dataclasses.replace(eng.sim, force=None)
-        return eng_mod.run_headless(sim, eng.params(), eng.config,
-                                    eng._view_size, 0.0, 1000.0 / 60.0,
-                                    steps, targets_live=False)
-
-    simp = run(6)
-    simf = run(0)
-    n = 144 * 144
-    np.testing.assert_array_equal(np.sort(np.asarray(simp.idx)),
-                                  np.arange(n))
-    pp, pf = (np.asarray(s.particles)[:, np.argsort(np.asarray(s.idx))]
-              for s in (simp, simf))
-    np.testing.assert_allclose(pp, pf, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(simp.flow)[3].sum(),
-                               np.asarray(simf.flow)[3].sum(), rtol=1e-3)
