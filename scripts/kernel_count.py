@@ -38,9 +38,11 @@ def main():
     fr = (os.environ.get("TT_FR", "auto") == "1"
           or (os.environ.get("TT_FR", "auto") == "auto"
               and fast_resolve_ok(eng.config, eng.state)))
+    from tendrils_tpu.engine import flow_force_unused
     lowered = bench._run_scan.lower(eng.sim, params, eng.config,
                                     eng._view_size, jnp.float32(0.0),
-                                    1000.0 / 60.0, 8, fast_resolve=fr)
+                                    1000.0 / 60.0, 8, fast_resolve=fr,
+                                    flow_off=flow_force_unused(eng.state))
     txt = lowered.compile().as_text()
 
     # The scan body is the while-loop body computation: find the while op's
@@ -64,10 +66,11 @@ def main():
     launches = []
     for line in body_txt.splitlines()[1:]:
         line = line.strip()
-        m = re.match(r"%?[\w.-]+ = \S+ (\w[\w-]*)\(", line)
+        # Result shapes may be tuples with spaces: `%x = (s32[..], ..) sort(`
+        m = re.match(r"%?[\w.-]+ = (\([^)]*\)|\S+) (\w[\w-]*)\(", line)
         if not m:
             continue
-        op = m.group(1)
+        op = m.group(2)
         if op in ("parameter", "constant", "get-tuple-element", "tuple",
                   "bitcast", "reshape", "after-all", "add", "subtract",
                   "multiply", "compare", "select", "broadcast", "iota",
@@ -77,7 +80,7 @@ def main():
             # Cheap scalar/bookkeeping ops usually folded; count the big
             # ones only via fusion/custom-call. But flag unfused array ops
             # on large shapes.
-            shape = re.match(r"%?[\w.-]+ = (\S+) ", line).group(1)
+            shape = re.match(r"%?[\w.-]+ = (\([^)]*\)|\S+) ", line).group(1)
             if re.search(r"\d+,\d+", shape) and op in (
                     "copy", "transpose", "concatenate", "pad", "reduce",
                     "dynamic-update-slice"):
@@ -91,7 +94,7 @@ def main():
             tm = re.search(r'custom_call_target="([^"]+)"', line)
             if tm:
                 target = tm.group(1)
-            shape = re.match(r"%?[\w.-]+ = (\S+) ", line).group(1)
+            shape = re.match(r"%?[\w.-]+ = (\([^)]*\)|\S+) ", line).group(1)
             launches.append((op + (":" + target if target else ""),
                              shape, line[:90]))
     print(f"\n{len(launches)} launch-ish ops in the scan body:")
