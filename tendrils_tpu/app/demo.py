@@ -157,6 +157,19 @@ class TendrilsDemo:
         self.blur_defaults = {"radius": 3, "limit": 0.5}
         self.blur_state = {"radius": 5, "limit": 0.4}
 
+        # Bokeh — the reference ships the shader (`src/screen/bokeh.frag`)
+        # but its demo never wires it; we expose it as an optional screen
+        # pass after blur (off by default, settable via `bokeh_radius` /
+        # `bokeh_amount` settings or a preset's "bokeh" section).
+        self.bokeh_state = {
+            "radius": float(s.get("bokeh_radius", 0)),
+            "amount": float(s.get("bokeh_amount", 0)),
+        }
+        # Settings-derived values are the reset baseline (same pattern as
+        # `optical_flow_defaults`): presets without a "bokeh" section keep
+        # the caller's setting.
+        self.bokeh_defaults = dict(self.bokeh_state)
+
         # Colour proxy — ref `demo.main.js:1326-1338`.
         st = self.state
         self.color_defaults = {
@@ -201,6 +214,7 @@ class TendrilsDemo:
             "audio": self.audio_state,
             "blend": self.blend_proxy,
             "blur": self.blur_state,
+            "bokeh": self.bokeh_state,
             "calls": {},
         }
         self.player = {
@@ -525,6 +539,7 @@ class TendrilsDemo:
              for k, v in self.color_defaults.items()})
         self.blend_proxy.update(self.blend_defaults)
         self.blur_state.update(self.blur_defaults)
+        self.bokeh_state.update(self.bokeh_defaults)
         self.audio_state.update(self.audio_defaults)
         self.quality_change(self.quality["level"])
 
@@ -545,6 +560,7 @@ class TendrilsDemo:
         if "reflow" in preset:
             self.flow_pixel_state["scale"] = preset["reflow"]
         self.blur_state.update(preset.get("blur", {}))
+        self.bokeh_state.update(preset.get("bokeh", {}))
         if "base" in preset:
             self.toggle_base(preset["base"])
 
@@ -632,7 +648,9 @@ class TendrilsDemo:
             color_maps=(mic_grid, track_grid, video_grid),
             color_alphas=alphas, segments=segments,
             of_frames=of_frames, of_uniforms=of_uniforms,
-            blur=(self.blur_state["radius"], self.blur_state["limit"]))
+            blur=(self.blur_state["radius"], self.blur_state["limit"]),
+            bokeh=((self.bokeh_state["radius"], self.bokeh_state["amount"])
+                   if self.bokeh_state["radius"] > 0 else None))
 
         self.tendrils.step_buffers()
         if of_frames is not None:
