@@ -320,7 +320,8 @@ def step_sim(sim: state_mod.SimState, params, time, dt, cfg: EngineConfig,
 def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
              view_size, axis_name=None, want_aux=False, resident=False,
              targets_live=True, stepped=False, fast_resolve=False,
-             read_time=None, want_eff=False, want_force=False):
+             read_time=None, want_eff=False, want_force=False,
+             flow_off=False):
     """Flow + view render passes — ref `src/index.js:278-340`.
 
     With `axis_name` set (data-parallel shard_map over particles), the splat
@@ -469,7 +470,7 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
                                          else None),
             mapped_scalar=mapped_scalar,
             resolve=("pallas" if presolve else "xla"),
-            read_time=read_time, want_eff=want_eff,
+            read_time=read_time, want_eff=want_eff, flow_off=flow_off,
             psum=(None if axis_name is None
                   else functools.partial(jax.lax.psum,
                                          axis_name=axis_name)))
@@ -1049,20 +1050,21 @@ def _frame_jit(sim, params, time, dt, cfg, view_size,
         sim = step_sim(sim, params, time, dt, cfg, view_size,
                        flow_off=flow_off)
         return draw_sim(sim, params, time, cfg, view_size, stepped=True,
-                        fast_resolve=fast_resolve)
+                        fast_resolve=fast_resolve, flow_off=flow_off)
     resident = resident_enabled(cfg)
     sim = step_sim(sim, params, time, dt, cfg, view_size, flow_off=flow_off)
     if flow_off and not resident:
         # Nothing consumes the flow force (`flow_force_unused`) — skip the
         # aux stream and the force gather outright.
         return draw_sim(sim, params, time, cfg, view_size, stepped=True,
-                        fast_resolve=fast_resolve)
+                        fast_resolve=fast_resolve, flow_off=True)
     out = draw_sim(sim, params, time, cfg, view_size,
                    want_aux=True, resident=resident,
                    targets_live=targets_live, stepped=True,
                    fast_resolve=fast_resolve, read_time=time + dt,
                    want_eff=fast_resolve and not flow_off,
-                   want_force=resident and not flow_off)
+                   want_force=resident and not flow_off,
+                   flow_off=flow_off)
     if resident:
         # Fused gather+reconstruct set sim.force in the draw (or, with
         # flow_off, the frame legitimately carries no force — the next
@@ -1136,7 +1138,8 @@ def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
                        want_aux=True, resident=resident,
                        targets_live=targets_live, stepped=True,
                        fast_resolve=fast_resolve, read_time=time + dt,
-                       want_eff=want_eff, want_force=want_force)
+                       want_eff=want_eff, want_force=want_force,
+                       flow_off=flow_off and seg is None and of is None)
         sim, aux = out[:2]
         eff = out[2] if len(out) > 2 else None
         if want_force or flow_off:
@@ -1146,7 +1149,8 @@ def _frame_io_jit(sim, params, time, dt, cfg, view_size, cm, cm_alphas,
         sim = step_sim(sim, params, time, dt, cfg, view_size,
                        flow_off=flow_off)
         sim = draw_sim(sim, params, time, cfg, view_size, stepped=True,
-                       fast_resolve=fast_resolve)
+                       fast_resolve=fast_resolve,
+                       flow_off=flow_off and seg is None and of is None)
 
     if seg is not None:
         p0, p1, vel, width = seg
@@ -1222,7 +1226,8 @@ def run_headless(sim, params, cfg: EngineConfig, view_size, t0, dt, steps,
                            targets_live=targets_live, stepped=True,
                            fast_resolve=fast_resolve, read_time=time + dt,
                            want_eff=fast_resolve and not flow_off,
-                           want_force=resident and not flow_off)
+                           want_force=resident and not flow_off,
+                           flow_off=flow_off)
             if resident:
                 # Fused gather+reconstruct set sim.force (or flow_off
                 # legitimately carries none — the step skips the flow term).
@@ -1236,7 +1241,7 @@ def run_headless(sim, params, cfg: EngineConfig, view_size, t0, dt, steps,
             sim = step_sim(sim, params, time, dt, cfg, view_size,
                            flow_off=flow_off)
             sim = draw_sim(sim, params, time, cfg, view_size, stepped=True,
-                           fast_resolve=fast_resolve)
+                           fast_resolve=fast_resolve, flow_off=flow_off)
         return sim, ()
 
     sim, _ = jax.lax.scan(body, sim, jnp.arange(steps, dtype=jnp.float32))

@@ -64,6 +64,7 @@ N_WIN = BLOCK // WIN
 # time · wsum), saving a channel.
 N_CHAN = 11
 N_FLOW = 5  # flow channels (vx·α, vy·α, wf·α, α, log(1-α)) lead the stack
+N_VIEW = N_CHAN - N_FLOW  # view channels (r·α, g·α, b·α, a·α, α, log(1-α))
 # Sort-operand packing thresholds (module-level so tests can force modes).
 # gather=1: combined 20-bit key|id single operand (small N).
 G1_MAX_ROWS = 1 << 20
@@ -176,7 +177,7 @@ def _win_split(seg):
 
 
 def _kernel(scal_ref, keym_ref, *rest, tiles_x, pscale, samples, h, w,
-            derive_p0=False, scalar_color=False):
+            derive_p0=False, scalar_color=False, flow_off=False):
     """Segment-direct fused splat: expands each packed segment to its
     `samples` deposit points IN-KERNEL (no per-sample HBM stream at all)
     and accumulates both passes' box footprints via tile-visit matmuls.
@@ -326,12 +327,17 @@ def _kernel(scal_ref, keym_ref, *rest, tiles_x, pscale, samples, h, w,
         cg = ((rgba >> 8) & 255).astype(jnp.float32) * c8
         cb = ((rgba >> 16) & 255).astype(jnp.float32) * c8
         ca = ((rgba >> 24) & 127).astype(jnp.float32) * (COLOR_MAX / 127.0)
-    wf = jnp.minimum(jnp.sqrt(vx * vx + vy * vy) / speed_limit, 1.0)
+    # flow_off (`flowWeight == 0`, static): the flow grid is never read —
+    # the five flow channels are dropped from the accumulator entirely
+    # (config-1's frame is dominated by the 11-channel accumulator's HBM
+    # round-trip; see BENCHMARKS.md round-5 config-1 ledger).
+    if not flow_off:
+        wf = jnp.minimum(jnp.sqrt(vx * vx + vy * vy) / speed_limit, 1.0)
 
     keys = []    # per-sample tile keys, [samples][SEG]
     gxs = []     # continuous pixel-centre coords
     gys = []
-    chans = []   # 11 accumulation channels per sample
+    chans = []   # accumulation channels per sample (11, or 6 w/ flow_off)
     for s in range(samples):
         ts = (s + 0.5) / samples
         xp = jnp.clip(p0x + dx * ts, 1.0, PAD_LO_W + w + 1.0)
@@ -353,11 +359,15 @@ def _kernel(scal_ref, keym_ref, *rest, tiles_x, pscale, samples, h, w,
         gxs.append(gxq)
         gys.append(gyq)
 
-        af = jnp.minimum(wf * a, 1.0 - 1e-4)
         av = jnp.clip(ca * a, 0.0, 1.0 - 1e-4)
-        chans.append([vx * af, vy * af, wf * af, af, jnp.log1p(-af),
-                      cr * av, cg * av, cb * av, ca * av, av,
-                      jnp.log1p(-av)])
+        view_ch = [cr * av, cg * av, cb * av, ca * av, av,
+                   jnp.log1p(-av)]
+        if flow_off:
+            chans.append(view_ch)
+        else:
+            af = jnp.minimum(wf * a, 1.0 - 1e-4)
+            chans.append([vx * af, vy * af, wf * af, af, jnp.log1p(-af)]
+                         + view_ch)
 
     seg = p1.shape[0]
     n_win, win = _win_split(seg)
@@ -468,8 +478,11 @@ def _kernel(scal_ref, keym_ref, *rest, tiles_x, pscale, samples, h, w,
                             + contrib.reshape(ch_hi - ch_lo, REGION_H,
                                               REGION_W)
 
-                    group(0, N_FLOW, hw_f, inv_wf, 0, N_FLOW)
-                    group(N_FLOW, N_CHAN, hw_v, inv_wv, N_FLOW, N_CHAN)
+                    if flow_off:
+                        group(0, N_VIEW, hw_v, inv_wv, 0, N_VIEW)
+                    else:
+                        group(0, N_FLOW, hw_f, inv_wf, 0, N_FLOW)
+                        group(N_FLOW, N_CHAN, hw_v, inv_wv, N_FLOW, N_CHAN)
                 continue
             # Per-sample variant (K = win): one gate + dot per (sample,
             # window).
@@ -496,8 +509,12 @@ def _kernel(scal_ref, keym_ref, *rest, tiles_x, pscale, samples, h, w,
                             + contrib.reshape(ch_hi - ch_lo, REGION_H,
                                               REGION_W)
 
-                    group(0, N_FLOW, hw_f, inv_wf, 0, N_FLOW)
-                    group(N_FLOW, N_CHAN, hw_v, inv_wv, N_FLOW, N_CHAN)
+                    if flow_off:
+                        group(0, N_VIEW, hw_v, inv_wv, 0, N_VIEW)
+                    else:
+                        group(0, N_FLOW, hw_f, inv_wf, 0, N_FLOW)
+                        group(N_FLOW, N_CHAN, hw_v, inv_wv, N_FLOW,
+                              N_CHAN)
 
     # Four parity passes; within each, prefetch the next region while the
     # current one computes (disjoint by construction).
@@ -785,7 +802,7 @@ def _pack_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
 def _bin_and_splat(scal, outs, gather, time, *, tiles_x, pscale,
                    samples, h, w, hp, wp, n_pad, interpret, ride=None,
                    derive_p0=False, scalar_color=False, raw_accum=False,
-                   stable=True, p1_from_ride=None):
+                   stable=True, p1_from_ride=None, flow_off=False):
     """Shared pipeline tail: segment sort (with the optional gather
     stream), segment-direct splat kernel, payload reassembly. Returns
     (flow_parts, view_parts, aux, ride_sorted).
@@ -937,7 +954,10 @@ def _bin_and_splat(scal, outs, gather, time, *, tiles_x, pscale,
 
     # Pass 2: segment-direct splat — the kernel expands each segment to its
     # deposit samples in-kernel (no per-sample HBM stream).
-    accum0 = jnp.zeros((N_CHAN, hp, wp), jnp.float32)
+    assert not flow_off or raw_accum, \
+        "flow channel pruning requires the Pallas resolve (raw_accum)"
+    nch = N_VIEW if flow_off else N_CHAN
+    accum0 = jnp.zeros((nch, hp, wp), jnp.float32)
     splat_seg = BLOCK // samples
     splat_spec = pl.BlockSpec((splat_seg,), lambda b: (b,),
                               memory_space=pltpu.VMEM)
@@ -946,15 +966,15 @@ def _bin_and_splat(scal, outs, gather, time, *, tiles_x, pscale,
     out = pl.pallas_call(
         functools.partial(_kernel, tiles_x=tiles_x, pscale=pscale,
                           samples=samples, h=h, w=w, derive_p0=derive_p0,
-                          scalar_color=scalar_color),
+                          scalar_color=scalar_color, flow_off=flow_off),
         grid=(n_pad // splat_seg,),
         in_specs=([smem_scal]
                   + [splat_spec] * n_seg_ops
                   + [pl.BlockSpec(memory_space=pl.ANY)]),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((N_CHAN, hp, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nch, hp, wp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, N_CHAN, REGION_H, REGION_W), jnp.float32),
+            pltpu.VMEM((2, nch, REGION_H, REGION_W), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -993,7 +1013,7 @@ def pos_scale_for(grid_hw):
 @functools.partial(jax.jit, static_argnames=("grid_hw", "samples",
                                              "interpret",
                                              "derive_p0", "raw_accum",
-                                             "idx_bound"))
+                                             "idx_bound", "flow_off"))
 def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
                           live, speed_limit, time, *, idx=None, ride=None,
                           idx_bound=None,
@@ -1002,7 +1022,8 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
                           line_width=1.0, speed_alpha=1.0, sin_decay=0.0,
                           flow_decay=0.0, base_color=None, flow_color=None,
                           derive_p0=False, view_size=None,
-                          mapped_scalar=None, raw_accum=False):
+                          mapped_scalar=None, raw_accum=False,
+                          flow_off=False):
     """Accumulate both passes' splats.
 
     `p0_pix`/`p1_pix`: `f32[N, 2]` segment endpoints (window px of the shared
@@ -1177,6 +1198,7 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
         pscale=pscale, samples=samples, h=h, w=w, hp=hp, wp=wp,
         n_pad=n_pad, interpret=interpret, ride=ride, derive_p0=derive_p0,
         scalar_color=scalar_color, raw_accum=raw_accum, stable=stable,
+        flow_off=flow_off,
         # Resident rides lead with the exact positions — drop the p1
         # operand from the sort and recompute it post-sort (one fewer
         # 16M-row stream through the bitonic network).
@@ -1208,7 +1230,7 @@ def _widen_excess(parts, width):
 
 
 def _resolve_kernel(scal_ref, accum_ref, flow_ref, view_ref, *rest, w, rb,
-                    want_eff, n_steps):
+                    want_eff, n_steps, flow_off=False):
     """Fused resolve of the splat accumulator: one Pallas pass replaces the
     whole XLA tail — pad slice, stamp reassembly, narrow-width scale,
     `composite_over` for both passes, `autoClearView` + fade fill, and
@@ -1225,13 +1247,27 @@ def _resolve_kernel(scal_ref, accum_ref, flow_ref, view_ref, *rest, w, rb,
     scal f32[1, 16] SMEM: [0] time, [1] read_time, [2] flowDecay,
     [3] autoClearView, [4..7] fadeColor·autoFade, [8] flow widen scale,
     [9] view widen scale, [10] eps."""
-    if want_eff:
+    if flow_off:
+        # Flow-channel-pruned accumulator (`_bin_and_splat(flow_off=...)`):
+        # view channels only, no flow input/output (the engine carries the
+        # old flow grid through untouched). With three inputs the VIEW
+        # input arrives in the `flow_ref` slot and the single output in
+        # the `view_ref` slot.
+        assert not want_eff
+        nv_ref = view_ref
+        view_ref = flow_ref
+        nf_ref = eff_ref = None
+        scratch, sems = rest
+        nch = N_VIEW
+    elif want_eff:
         nf_ref, nv_ref, eff_ref = rest[:3]
         scratch, sems = rest[3:]
+        nch = N_CHAN
     else:
         nf_ref, nv_ref = rest[:2]
         eff_ref = None
         scratch, sems = rest[2:]
+        nch = N_CHAN
 
     b = pl.program_id(0)
     slot = jax.lax.rem(b, 2)
@@ -1241,7 +1277,7 @@ def _resolve_kernel(scal_ref, accum_ref, flow_ref, view_ref, *rest, w, rb,
             accum_ref.at[ch, pl.ds(PAD_LO_H + bi * rb, rb),
                          pl.ds(PAD_LO_W, w)],
             scratch.at[sl, ch], sems.at[sl, ch])
-            for ch in range(N_CHAN)]
+            for ch in range(nch)]
 
     @pl.when(b == 0)
     def _():
@@ -1256,7 +1292,7 @@ def _resolve_kernel(scal_ref, accum_ref, flow_ref, view_ref, *rest, w, rb,
     for dma in copies(b, slot):
         dma.wait()
 
-    a = [scratch[slot, ch] for ch in range(N_CHAN)]
+    a = [scratch[slot, ch] for ch in range(nch)]
     time = scal_ref[0, 0]
     read_time = scal_ref[0, 1]
     fdecay = scal_ref[0, 2]
@@ -1266,24 +1302,27 @@ def _resolve_kernel(scal_ref, accum_ref, flow_ref, view_ref, *rest, w, rb,
     sv = scal_ref[0, 9]
     eps = scal_ref[0, 10]
 
-    # Flow resolve (splat.composite_over semantics; stamp num = time·wsum).
-    wsum_f = a[3] * sf
-    t_f = jnp.exp(a[4] * sf)
-    gain_f = (1.0 - t_f) / jnp.maximum(wsum_f, eps)
-    fnum = (a[0] * sf, a[1] * sf, time * wsum_f, a[2] * sf)
-    nf = [flow_ref[k] * t_f + fnum[k] * gain_f for k in range(4)]
-    for k in range(4):
-        nf_ref[k] = nf[k]
+    if not flow_off:
+        # Flow resolve (splat.composite_over semantics; stamp num =
+        # time·wsum).
+        wsum_f = a[3] * sf
+        t_f = jnp.exp(a[4] * sf)
+        gain_f = (1.0 - t_f) / jnp.maximum(wsum_f, eps)
+        fnum = (a[0] * sf, a[1] * sf, time * wsum_f, a[2] * sf)
+        nf = [flow_ref[k] * t_f + fnum[k] * gain_f for k in range(4)]
+        for k in range(4):
+            nf_ref[k] = nf[k]
 
     # View resolve over the cleared + faded previous view.
+    v_lo = 0 if flow_off else N_FLOW
     fa = fade[3]
-    wsum_v = a[9] * sv
-    t_v = jnp.exp(a[10] * sv)
+    wsum_v = a[v_lo + 4] * sv
+    t_v = jnp.exp(a[v_lo + 5] * sv)
     gain_v = (1.0 - t_v) / jnp.maximum(wsum_v, eps)
     for k in range(4):
         v0 = view_ref[k] * (1.0 - ac)
         v0 = fade[k] * fa + v0 * (1.0 - fa)
-        nv_ref[k] = v0 * t_v + (a[5 + k] * sv) * gain_v
+        nv_ref[k] = v0 * t_v + (a[v_lo + k] * sv) * gain_v
 
     if want_eff:
         # Effective decayed flow at the NEXT step's read time — feeds the
@@ -1293,10 +1332,13 @@ def _resolve_kernel(scal_ref, accum_ref, flow_ref, view_ref, *rest, w, rb,
         eff_ref[1] = nf[1] * decay
 
 
-def _resolve_rb(h, w, want_eff):
+def _resolve_rb(h, w, want_eff, flow_off=False):
     """Row-block height: largest divisor of `h` fitting the VMEM budget
     (scratch 2·11 rows + double-buffered in/out blocks)."""
-    rows_equiv = 2 * N_CHAN + 16 + 16 + (4 if want_eff else 0)
+    if flow_off:
+        rows_equiv = 2 * N_VIEW + 8 + 8
+    else:
+        rows_equiv = 2 * N_CHAN + 16 + 16 + (4 if want_eff else 0)
     budget = 12 * 2 ** 20
     for rb in (40, 32, 24, 16, 8):
         if h % rb == 0 and rows_equiv * rb * w * 4 <= budget:
@@ -1310,10 +1352,11 @@ def resolve_eligible(h, w):
     return w % 128 == 0 and _resolve_rb(h, w, True) is not None
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "want_eff"))
+@functools.partial(jax.jit, static_argnames=("interpret", "want_eff",
+                                             "flow_off"))
 def resolve_fused(accum, flow, view, fade_rgba, auto_clear, time,
                   read_time, flow_decay, flow_width, line_width, *,
-                  want_eff=False, interpret=None):
+                  want_eff=False, interpret=None, flow_off=False):
     """Resolve both passes' padded accumulator over the previous flow/view
     grids in ONE Pallas pass (see `_resolve_kernel`). Only valid for
     in-kernel line widths (<= KMAX_WIDTH — the engine routes wider strokes
@@ -1322,8 +1365,8 @@ def resolve_fused(accum, flow, view, fade_rgba, auto_clear, time,
     at `read_time`, content layout, for `bilinear_gather_keyed`)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    _, h, w = flow.shape
-    rb = _resolve_rb(h, w, want_eff)
+    _, h, w = view.shape
+    rb = _resolve_rb(h, w, want_eff, flow_off)
     n_steps = h // rb
 
     def scale_of(width):
@@ -1342,34 +1385,50 @@ def resolve_fused(accum, flow, view, fade_rgba, auto_clear, time,
                              memory_space=pltpu.VMEM)
     smem_scal = pl.BlockSpec((1, 16), lambda b: (0, 0),
                              memory_space=pltpu.SMEM)
-    n_out = 3 if want_eff else 2
-    out_specs = [grid_spec, grid_spec]
-    out_shape = [jax.ShapeDtypeStruct((4, h, w), jnp.float32)] * 2
-    if want_eff:
-        out_specs.append(pl.BlockSpec((2, rb, w), lambda b: (0, b, 0),
-                                      memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((2, h, w), jnp.float32))
+    nch = N_VIEW if flow_off else N_CHAN
+    if flow_off:
+        # View-only resolve: the flow input/output pair drops out entirely
+        # (the engine carries the old flow grid through).
+        assert not want_eff
+        n_out = 1
+        out_specs = [grid_spec]
+        out_shape = [jax.ShapeDtypeStruct((4, h, w), jnp.float32)]
+        ins = (scal, accum, view)
+        in_specs = [smem_scal, pl.BlockSpec(memory_space=pl.ANY),
+                    grid_spec]
+        aliases = {2: 0}
+    else:
+        n_out = 3 if want_eff else 2
+        out_specs = [grid_spec, grid_spec]
+        out_shape = [jax.ShapeDtypeStruct((4, h, w), jnp.float32)] * 2
+        if want_eff:
+            out_specs.append(pl.BlockSpec((2, rb, w), lambda b: (0, b, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((2, h, w), jnp.float32))
+        ins = (scal, accum, flow, view)
+        in_specs = [smem_scal, pl.BlockSpec(memory_space=pl.ANY),
+                    grid_spec, grid_spec]
+        aliases = {2: 0, 3: 1}
     outs = pl.pallas_call(
         functools.partial(_resolve_kernel, w=w, rb=rb, want_eff=want_eff,
-                          n_steps=n_steps),
+                          n_steps=n_steps, flow_off=flow_off),
         grid=(n_steps,),
-        in_specs=[smem_scal, pl.BlockSpec(memory_space=pl.ANY),
-                  grid_spec, grid_spec],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, N_CHAN, rb, w), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, N_CHAN)),
+            pltpu.VMEM((2, nch, rb, w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, nch)),
         ],
         # The previous flow/view buffers are donated to the outputs: block
         # b is read at grid step b strictly before its replacement is
         # written back, so the in-place update is safe and XLA drops two
         # full-grid carry copies per frame.
-        input_output_aliases={2: 0, 3: 1},
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(scal, accum, flow, view)
+    )(*ins)
     return tuple(outs[:n_out])
 
 
@@ -1467,7 +1526,8 @@ def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
                idx=None, ride=None,
                idx_bound=None, psum=None,
                derive_p0=False, view_size=None, mapped_scalar=None,
-               resolve="xla", read_time=None, want_eff=False):
+               resolve="xla", read_time=None, want_eff=False,
+               flow_off=False):
     """Full fused draw: accumulate with in-kernel per-pass line widths
     (`flowWidth` for the flow deposit, `lineWidth` for the view deposit —
     ref `src/index.js:302,336` set `gl.lineWidth` per pass) and the in-kernel
@@ -1492,6 +1552,10 @@ def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
     third output is the decayed flow at `read_time` for the carried-force
     gather; return becomes `(new_flow, new_view[, aux][, eff])`."""
     pallas_resolve = resolve == "pallas"
+    # Flow-channel pruning requires the Pallas resolve path (the XLA tail
+    # reassembles flow_parts); `flowWeight == 0` + the fallback resolve
+    # just keeps the full accumulator.
+    flow_off = flow_off and pallas_resolve and not want_eff
     has_ride = ride is not None
     out = fused_draw_accumulate(
         grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
@@ -1504,19 +1568,26 @@ def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
         sin_decay=jnp.sin(time * params["flowDecay"]),
         flow_decay=params["flowDecay"],
         base_color=params["baseColor"], flow_color=params["flowColor"],
-        raw_accum=pallas_resolve)
+        raw_accum=pallas_resolve, flow_off=flow_off)
     if pallas_resolve:
         accum = out[0]
         if psum is not None:
             accum = psum(accum)
         res = resolve_fused(
-            accum, flow, view,
+            accum, None if flow_off else flow, view,
             params["fadeColor"] * params["autoFade"],
             params["autoClearView"], time,
             time if read_time is None else read_time,
             params["flowDecay"], params["flowWidth"], params["lineWidth"],
-            want_eff=want_eff, interpret=interpret)
-        new_flow, new_view = res[:2]
+            want_eff=want_eff, interpret=interpret, flow_off=flow_off)
+        if flow_off:
+            # The untouched flow grid passes through: `flowWeight == 0`
+            # means nothing reads it (and decay-on-read makes any missed
+            # accumulation vanish once flow is re-enabled — documented
+            # deviation, the GL reference always renders its flow FBO).
+            new_flow, new_view = flow, res[0]
+        else:
+            new_flow, new_view = res[:2]
         ret = [new_flow, new_view]
         if idx is not None:
             ret.append(out[2])

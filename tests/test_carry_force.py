@@ -178,8 +178,12 @@ def test_flow_off_gate_matches_general_path():
     """`flow_force_unused` (host-known flowWeight == 0) must not change
     trajectories: the flow term the gate skips is exactly `force * 0`
     (variance is multiplicative), so particle state matches the ungated
-    frame bit-for-bit; flow/view agree within the draw-variant tolerance
-    (the gated draw skips the want_eff/want_force outputs)."""
+    frame bit-for-bit, and so does the VIEW — the flow-channel-pruned
+    splat computes the view group with the identical matmuls (round-5
+    config-1 lever). The flow grid itself is FROZEN under flow_off (the
+    five flow channels are dropped from the accumulator; nothing reads
+    the grid while flowWeight == 0 — documented deviation, decay-on-read
+    makes missed accumulation vanish on re-enable)."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -191,6 +195,7 @@ def test_flow_off_gate_matches_general_path():
         eng = make(carry=True, frames=0)
         eng.state["flowWeight"] = 0.0
         assert eng_mod.flow_force_unused(eng.state) is True
+        flow0 = np.asarray(eng.sim.flow)
         for _ in range(4):
             eng.timer.tick()
             eng._check_force_params()
@@ -200,18 +205,24 @@ def test_flow_off_gate_matches_general_path():
                 targets_live=False,
                 fast_resolve=eng_mod.fast_resolve_ok(eng.config, eng.state),
                 flow_off=flow_off)
-        return eng.sim
+        return eng.sim, flow0
 
-    a, b = run(True), run(False)
+    (a, flow0), (b, _) = run(True), run(False)
     # Identity-aligned exact state match (rows may sort differently only
     # if the draw variant changed sort ties — align by idx).
     pa = np.asarray(a.particles)[:, np.argsort(np.asarray(a.idx))]
     pb = np.asarray(b.particles)[:, np.argsort(np.asarray(b.idx))]
     np.testing.assert_array_equal(pa, pb)
-    np.testing.assert_allclose(np.asarray(a.flow), np.asarray(b.flow),
-                               atol=1e-5)
-    np.testing.assert_allclose(np.asarray(a.view), np.asarray(b.view),
-                               atol=1e-5)
+    pruned = eng_mod.fast_resolve_ok(make(carry=True, frames=0).config,
+                                     {"flowWidth": 1.0, "lineWidth": 1.0})
+    if pruned:
+        # Pruned path active: flow frozen, view bit-exact.
+        np.testing.assert_array_equal(np.asarray(a.flow), flow0)
+        np.testing.assert_array_equal(np.asarray(a.view),
+                                      np.asarray(b.view))
+    else:
+        np.testing.assert_allclose(np.asarray(a.view), np.asarray(b.view),
+                                   atol=1e-5)
     assert a.force is None
 
 
