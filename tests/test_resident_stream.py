@@ -143,7 +143,24 @@ def test_resident_best_sample_target_spawn():
     np.testing.assert_allclose(res, cls, atol=0.05)
 
 
-def test_resident_with_textured_color_map():
+@pytest.fixture
+def no_compile_cache():
+    """Disable the persistent XLA compilation cache for one test.
+
+    The resident+textured-colormap frame executable crashes jax's cache
+    machinery ITSELF — round 4 triaged a segfault deserialising it
+    (`get_executable_and_time`), and round 5 caught the twin crash
+    SERIALISING it (`put_executable_and_time`, same test, fresh dir), so
+    the earlier "truncated poisoned entry" theory is wrong: this specific
+    executable cannot round-trip the cache on this jaxlib. Keep it out of
+    the cache entirely; everything else keeps the 4x warm-run speedup."""
+    import jax
+    jax.config.update("jax_enable_compilation_cache", False)
+    yield
+    jax.config.update("jax_enable_compilation_cache", True)
+
+
+def test_resident_with_textured_color_map(no_compile_cache):
     """Non-1x1 colour maps keep the rgba operand riding the sort; colours
     must match the classic path per particle identity."""
     rng = np.random.RandomState(7)
