@@ -448,8 +448,15 @@ def _apply_prep(key, key2, prev2, ck_s, k_total, csum_u_incl, csum_c_excl,
     c0 = jnp.clip(ci_str * (stride // LANES) - 8, 0,
                   k_rag_rows - cwinr)
 
+    # Table origin: the strided sample can be a CHURNED row whose new
+    # tile jumped a row band (±tiles_x) or wrapped the grid — floor the
+    # estimate with the prev-key tile (exact for the sorted-by-prev
+    # stream) so the slice never starts above the window's U tiles.
+    prev_tile_str = jax.lax.shift_right_logical(
+        prev2.reshape(-1)[::stride], idx_bits)
+    t0_src = jnp.minimum(tile_str, prev_tile_str)
     t0 = jnp.clip(
-        _take_small(tile_str, jnp.clip(s0 * LANES, 0, n - 1) // stride)
+        _take_small(t0_src, jnp.clip(s0 * LANES, 0, n - 1) // stride)
         - 4, 0, t_pad - tblw)
     t0c = jnp.clip(
         _take_small(ctile_str, jnp.clip(c0 * LANES, 0, n - 1) // stride)
