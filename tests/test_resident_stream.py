@@ -155,9 +155,16 @@ def no_compile_cache():
     executable cannot round-trip the cache on this jaxlib. Keep it out of
     the cache entirely; everything else keeps the 4x warm-run speedup."""
     import jax
+    from jax._src import compilation_cache as cc
     jax.config.update("jax_enable_compilation_cache", False)
+    # The enabled decision is LATCHED per process (`is_cache_used`'s
+    # _cache_checked global) at the first compile — flipping the config
+    # alone does nothing once anything compiled. reset_cache() clears
+    # the latch so the flag is re-read for this test's compiles.
+    cc.reset_cache()
     yield
     jax.config.update("jax_enable_compilation_cache", True)
+    cc.reset_cache()
 
 
 def test_resident_with_textured_color_map(no_compile_cache):
