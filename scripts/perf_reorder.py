@@ -26,7 +26,8 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-from tendrils_tpu.ops.reorder_pallas import merge_reorder  # noqa: E402
+from tendrils_tpu.ops.reorder_pallas import (  # noqa: E402
+    hist_outer, merge_reorder)
 
 IDX_BITS = 13
 FRAMES = 12
@@ -97,10 +98,9 @@ def main():
         def fallback(_):
             ks, a, b, c, d = jax.lax.sort([key, pxi, pyi, low, aux],
                                           num_keys=1)
-            h = jnp.sum(
-                (jax.lax.shift_right_logical(ks, IDX_BITS)[:, None]
-                 == jnp.arange(n_tiles, dtype=jnp.int32)[None, :]),
-                axis=0, dtype=jnp.int32)
+            t_pad = -(-n_tiles // 32) * 32
+            h = hist_outer(jax.lax.shift_right_logical(ks, IDX_BITS),
+                           t_pad)[:n_tiles]
             return ks, a, b, c, d, h
 
         key_s, pxs, pys, lows, auxs, new_hist = jax.lax.cond(
@@ -112,9 +112,9 @@ def main():
 
     # churn measurement + initial hist
     key = keys_of(px, py, low)
-    hist = jnp.sum((jax.lax.shift_right_logical(key, IDX_BITS)[:, None]
-                    == jnp.arange(n_tiles, dtype=jnp.int32)[None, :]),
-                   axis=0, dtype=jnp.int32)
+    t_pad = -(-n_tiles // 32) * 32
+    hist = jax.jit(lambda k: hist_outer(
+        jax.lax.shift_right_logical(k, IDX_BITS), t_pad)[:n_tiles])(key)
 
     for name in ("flat", "merge"):
         pxv, pyv, lowv = px, py, low

@@ -168,17 +168,26 @@ def _route_to(words, sel, dest, n_bits_w, n_bits_d):
 
 def _cumsum_flat(m):
     """Inclusive cumsum of a [R, 128] f32 block in flattened row-major
-    order, via triangular matmuls (exact for counts < 2^24)."""
+    order, via triangular matmuls. `m` must be 0/1-valued: the TPU's
+    default-precision f32 matmul rounds OPERANDS to bf16 (~8 mantissa
+    bits), so only small-integer operands multiply exactly — 0/1 masks
+    and the triangular matrices are exact, but the row totals (up to
+    R·128) are NOT, so they cross the second matmul as two 8-bit halves
+    (the `_shifted_tables` trick; f32 ACCUMULATION is always exact for
+    counts < 2^24)."""
     r, lanes = m.shape
     li = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 0)
     lj = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 1)
     tri = (li <= lj).astype(jnp.float32)
     row_c = jnp.dot(m, tri, preferred_element_type=jnp.float32)
-    tot = row_c[:, lanes - 1:lanes]                      # [R, 1]
+    tot = row_c[:, lanes - 1:lanes]                      # [R, 1] < 2^16
+    hi = jnp.floor(tot * (1.0 / 256.0))
+    lo = tot - hi * 256.0
     ri = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
     rj = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
     tri_r = (ri > rj).astype(jnp.float32)                # rows before r
-    pref = jnp.dot(tri_r, tot, preferred_element_type=jnp.float32)
+    pref = (jnp.dot(tri_r, hi, preferred_element_type=jnp.float32) * 256.0
+            + jnp.dot(tri_r, lo, preferred_element_type=jnp.float32))
     return row_c + pref
 
 
@@ -221,7 +230,7 @@ def _compact_kernel(base_ref, key_ref, prev_ref, *rest, n_pay, sbr):
     for i, wd in enumerate(routed[1:]):
         stage[1 + i][:] = wd
 
-    base = base_ref[0, 0]
+    base = base_ref[0, 0, 0]
     copies = []
     for i, o in enumerate(outs):
         dma = pltpu.make_async_copy(
@@ -253,7 +262,9 @@ def _compact(key2, prev2, pays2, k_rag_rows, interpret):
 
     blocked = pl.BlockSpec((sbr, LANES), lambda b: (b, 0),
                            memory_space=pltpu.VMEM)
-    smem = pl.BlockSpec((1, 1), lambda b: (b, 0),
+    # Mosaic requires the last two block dims to equal (or 8/128-divide)
+    # the array dims — per-block scalars ride a LEADING grid axis.
+    smem = pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0),
                         memory_space=pltpu.SMEM)
     fill = [jnp.full((k_rag_rows, LANES), MAXKEY, jnp.int32)] \
         + [jnp.zeros((k_rag_rows, LANES), jnp.int32)] * (1 + n_pay)
@@ -272,7 +283,7 @@ def _compact(key2, prev2, pays2, k_rag_rows, interpret):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(base_rows[:, None], key2, prev2, *pays2, *fill)
+    )(base_rows[:, None, None], key2, prev2, *pays2, *fill)
     return outs[0], outs[1], list(outs[2:]), k_total, ok_layout
 
 
@@ -294,13 +305,13 @@ def _apply_kernel(scal_ref, key_ref, prev_ref, *rest, n_pay, winr, cwinr,
     scratch = rest[3 * n_pay + 3:-1]
     sem = rest[-1]
 
-    s0 = scal_ref[0, 0]
-    u_base = scal_ref[0, 1]
-    c0 = scal_ref[0, 2]
-    k_total = scal_ref[0, 3]
-    t0 = scal_ref[0, 4]
-    t0c = scal_ref[0, 5]
-    d0 = scal_ref[0, 6]           # this block's first global rank (j·DB)
+    s0 = scal_ref[0, 0, 0]
+    u_base = scal_ref[0, 0, 1]
+    c0 = scal_ref[0, 0, 2]
+    k_total = scal_ref[0, 0, 3]
+    t0 = scal_ref[0, 0, 4]
+    t0c = scal_ref[0, 0, 5]
+    d0 = scal_ref[0, 0, 6]        # this block's first global rank (j·DB)
 
     # Windows: U streams (key, prev, payloads) + C streams (key, payloads).
     n_u = 2 + n_pay
@@ -330,7 +341,7 @@ def _apply_kernel(scal_ref, key_ref, prev_ref, *rest, n_pay, winr, cwinr,
         relc = jnp.clip(rel, 0, tblw - 1)
         out = jnp.zeros(rel.shape, jnp.int32)
         for j in range(tblw):
-            out = jnp.where(relc == j, scal_ref[0, off + j], out)
+            out = jnp.where(relc == j, scal_ref[0, 0, off + j], out)
         return out
 
     # --- U ranks: #U before (globally) + #C in tiles strictly before. ---
@@ -369,12 +380,33 @@ def _apply_kernel(scal_ref, key_ref, prev_ref, *rest, n_pay, winr, cwinr,
     for i in range(n_pay):
         opays[i][:] = jnp.where(pu, uw[1 + i][:dbr],
                                 jnp.where(pc, cw[1 + i][:dbr], 0))
-    cnt_ref[0, 0] = (jnp.sum(pu_full.astype(jnp.int32))
-                     + jnp.sum(pc_full.astype(jnp.int32))
-                     ).astype(jnp.int32)
+    cnt = (jnp.sum(pu_full.astype(jnp.int32))
+           + jnp.sum(pc_full.astype(jnp.int32))).astype(jnp.int32)
+    # Mosaic cannot store scalars to VMEM — broadcast to the block.
+    cnt_ref[0] = jnp.broadcast_to(cnt, (8, LANES))
 
 
 # --- public entry ------------------------------------------------------------
+
+
+def hist_outer(tiles, t_pad):
+    """int32[t_pad] histogram of `tiles` (values outside [0, t_pad)
+    dropped) as an MXU outer product: split each tile id into 5-bit
+    lo / remaining hi halves, one-hot both (k×(t_pad/32 + 32) cheap
+    compares instead of k×t_pad), and contract onehot_hiᵀ @ onehot_lo —
+    the k×t_pad work lands on the MXU. f32 accumulation is exact for
+    per-bin counts < 2^24. `t_pad` must be a multiple of 32."""
+    assert t_pad % 32 == 0
+    n_hi = t_pad // 32
+    hi = jax.lax.shift_right_logical(tiles, 5)
+    lo = tiles & 31
+    oh_hi = (hi[:, None] == jnp.arange(n_hi, dtype=jnp.int32)[None, :]
+             ).astype(jnp.bfloat16)
+    oh_lo = (lo[:, None] == jnp.arange(32, dtype=jnp.int32)[None, :]
+             ).astype(jnp.bfloat16)
+    h2 = jax.lax.dot_general(oh_hi, oh_lo, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    return h2.reshape(-1).astype(jnp.int32)
 
 
 def _take_small(table, idx):
@@ -525,11 +557,8 @@ def merge_reorder(key, prev_key, payloads, prev_hist, *, n_tiles,
     tiles_old = jnp.where(
         cvalid, jax.lax.shift_right_logical(cprev2.reshape(-1), idx_bits),
         t_pad)
-    tids = jnp.arange(t_pad, dtype=jnp.int32)
-    hist_c = jnp.sum(tiles_new[:, None] == tids[None, :], axis=0,
-                     dtype=jnp.int32)
-    hist_cout = jnp.sum(tiles_old[:, None] == tids[None, :], axis=0,
-                        dtype=jnp.int32)
+    hist_c = hist_outer(tiles_new, t_pad)
+    hist_cout = hist_outer(tiles_old, t_pad)
     prev_hist_p = jnp.zeros(t_pad, jnp.int32).at[:n_tiles].set(prev_hist)
     hist_u = prev_hist_p - hist_cout[:t_pad]
     hist_c = hist_c[:t_pad]
@@ -554,7 +583,7 @@ def merge_reorder(key, prev_key, payloads, prev_hist, *, n_tiles,
     dbr = DB // LANES
     blocked_out = pl.BlockSpec((dbr, LANES), lambda b: (b, 0),
                                memory_space=pltpu.VMEM)
-    smem = pl.BlockSpec((1, 8 + 2 * tblw), lambda b: (b, 0),
+    smem = pl.BlockSpec((1, 1, 8 + 2 * tblw), lambda b: (b, 0, 0),
                         memory_space=pltpu.SMEM)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     n_u = 2 + n_pay
@@ -565,21 +594,21 @@ def merge_reorder(key, prev_key, payloads, prev_hist, *, n_tiles,
         grid=(nb_d,),
         in_specs=[smem] + [any_spec] * (n_u + 1 + n_pay),
         out_specs=[blocked_out] * (1 + n_pay)
-        + [pl.BlockSpec((1, 1), lambda b: (b, 0),
+        + [pl.BlockSpec((1, 8, LANES), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((nrows, LANES), jnp.int32)]
         * (1 + n_pay)
-        + [jax.ShapeDtypeStruct((nb_d, 1), jnp.int32)],
+        + [jax.ShapeDtypeStruct((nb_d, 8, LANES), jnp.int32)],
         scratch_shapes=[pltpu.VMEM((winr, LANES), jnp.int32)] * n_u
         + [pltpu.VMEM((cwinr, LANES), jnp.int32)] * (1 + n_pay)
         + [pltpu.SemaphoreType.DMA((n_u + 1 + n_pay,))],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(scal, key2, prev2, *pays2, ck_s, *cpays_s)
+    )(scal[:, None, :], key2, prev2, *pays2, ck_s, *cpays_s)
 
     okey = outs[0].reshape(-1)
     opays = [o.reshape(-1) for o in outs[1:1 + n_pay]]
-    counts = outs[1 + n_pay][:, 0]
+    counts = outs[1 + n_pay][:, 0, 0]
     ok = ok & jnp.all(counts == DB)
     return ok, okey, opays, new_hist
