@@ -442,57 +442,80 @@ def _shifted_tables(table, t0, tblw):
 
 
 
-def _apply_prep(key, key2, prev2, ck_s, k_total, csum_u_incl, csum_c_excl,
-                n_tiles, idx_bits, t_pad, tblw, k_rag_rows):
-    """Per-dest-block scalars for the apply kernel (XLA): window offsets
-    (estimates — only steer DMAs), exact bases, and the two rank-table
-    slices. Returns the [nb_d, 8 + 2·tblw] int32 scal array."""
+def _prefix_lookup(bounds, hist, strict):
+    """Per-row prefix sums of `hist` up to a bound: Σ_t hist[t] for
+    t < bounds[r] (`strict`) or t <= bounds[r] — a 0/1-compare matmul
+    against the 8-bit components of `hist`, exact for values < 2^24 (the
+    TPU default-precision matmul rounds operands to bf16, so only the
+    0/1 mask and 8-bit components cross the MXU)."""
+    t = hist.shape[0]
+    tids = jnp.arange(t, dtype=jnp.int32)[None, :]
+    cmp = (bounds[:, None] > tids) if strict else (bounds[:, None] >= tids)
+    a = cmp.astype(jnp.bfloat16)
+    parts = []
+    for sh in (16, 8, 0):
+        comp = ((hist >> sh) & 255).astype(jnp.bfloat16)
+        got = jnp.dot(a, comp, preferred_element_type=jnp.float32)
+        parts.append(got.astype(jnp.int32))
+    return (parts[0] << 16) + (parts[1] << 8) + parts[2]
+
+
+def _apply_prep(key, key2, prev2, ck_s, k_total, hist_u, hist_c,
+                csum_u_incl, csum_c_excl, n_tiles, idx_bits, t_pad, tblw,
+                k_rag_rows):
+    """Per-dest-block scalars for the apply kernel (XLA): window offsets,
+    exact bases, and the two rank-table slices. Returns the
+    [nb_d, 8 + 2·tblw] int32 scal array.
+
+    Window offsets are EXACT at row (128-element) granularity — the
+    earlier strided-sample estimates broke at 16.7M rows, where local
+    churn imbalance displaces a block's true source range by more than
+    any fixed margin (measured: whole blocks outside their windows).
+    Exactness without gathers: the merge rank at each source row start
+    is monotone, so each row's rank lands in a dest-block bin and an
+    MXU histogram (`hist_outer`) + cumsum inverts the map — the first
+    source row with rank >= b·DB is exactly the number of rows in
+    earlier bins."""
     n = key.shape[0]
     nrows = n // LANES
     nb_d = n // DB
     winr = WIN // LANES
     cwinr = CWIN // LANES
-    stride = 512
+    nbp = -(-(nb_d + 1) // 32) * 32          # dest-block bins (padded)
 
-    mask_u_f = (key2 == prev2).reshape(nrows, LANES)
-    u_chunk = mask_u_f.sum(1, dtype=jnp.int32)
+    mask_u2 = key2 == prev2
+    u_chunk = mask_u2.sum(1, dtype=jnp.int32)
     u128c = jnp.cumsum(u_chunk) - u_chunk                  # #U before row r
-    # Strided exact-at-U-row rank samples (C samples are nearly right —
-    # window margins absorb the error).
-    key_str = key[::stride]
-    tile_str = jax.lax.shift_right_logical(key_str, idx_bits)
-    rank_str = (u128c[::stride // LANES]
-                + _take_small(csum_c_excl, tile_str))
     targets = jnp.arange(nb_d, dtype=jnp.int32) * DB
-    i_str = jnp.sum(rank_str[None, :] <= targets[:, None], axis=1,
-                    dtype=jnp.int32)                       # first > target
-    s0 = jnp.clip(i_str * (stride // LANES) - 24, 0, nrows - winr)
+
+    # --- U anchor: rank of each row's first U row (exact, monotone). ---
+    tile2 = jax.lax.shift_right_logical(key2, idx_bits)
+    tfu = jnp.min(jnp.where(mask_u2, tile2, t_pad), axis=1)
+    # U-free rows inherit the NEXT row's U tile (reverse running min keeps
+    # the sequence monotone; tail rows with no U left stay at t_pad).
+    tfu = jnp.flip(jax.lax.cummin(jnp.flip(tfu)))
+    tfu_cl = jnp.minimum(tfu, t_pad - 1)
+    rank_row = u128c + _prefix_lookup(tfu_cl, hist_c, strict=True)
+    blk = jnp.clip(rank_row // DB, 0, nbp - 1)
+    hob = hist_outer(blk, nbp)
+    first_ge = (jnp.cumsum(hob) - hob)[:nb_d]  # rows with rank < b·DB
+    s0 = jnp.clip(first_ge - 3, 0, nrows - winr)
     u_base = _take_small(u128c, s0)
+    t0 = jnp.clip(_take_small(tfu_cl, s0) - 4, 0, t_pad - tblw)
 
-    ck_str = ck_s.reshape(-1)[::stride]
-    ctile_str = jnp.where(
-        ck_str == MAXKEY, n_tiles,
-        jax.lax.shift_right_logical(ck_str, idx_bits))
-    crank_str = (_take_small(csum_u_incl, ctile_str)
-                 + jnp.arange(ck_str.shape[0], dtype=jnp.int32) * stride)
-    ci_str = jnp.sum(crank_str[None, :] <= targets[:, None], axis=1,
-                     dtype=jnp.int32)
-    c0 = jnp.clip(ci_str * (stride // LANES) - 8, 0,
-                  k_rag_rows - cwinr)
+    # --- C anchor: rank of each sorted-C row's first element. ---
+    ck0 = ck_s[:, 0]                           # row min (globally sorted)
+    ctile_row = jnp.where(
+        ck0 == MAXKEY, t_pad - 1,
+        jax.lax.shift_right_logical(ck0, idx_bits))
+    crank_row = (_prefix_lookup(ctile_row, hist_u, strict=False)
+                 + jnp.arange(k_rag_rows, dtype=jnp.int32) * LANES)
+    blkc = jnp.clip(crank_row // DB, 0, nbp - 1)
+    hoc = hist_outer(blkc, nbp)
+    first_ge_c = (jnp.cumsum(hoc) - hoc)[:nb_d]
+    c0 = jnp.clip(first_ge_c - 3, 0, k_rag_rows - cwinr)
+    t0c = jnp.clip(_take_small(ctile_row, c0) - 4, 0, t_pad - tblw)
 
-    # Table origin: the strided sample can be a CHURNED row whose new
-    # tile jumped a row band (±tiles_x) or wrapped the grid — floor the
-    # estimate with the prev-key tile (exact for the sorted-by-prev
-    # stream) so the slice never starts above the window's U tiles.
-    prev_tile_str = jax.lax.shift_right_logical(
-        prev2.reshape(-1)[::stride], idx_bits)
-    t0_src = jnp.minimum(tile_str, prev_tile_str)
-    t0 = jnp.clip(
-        _take_small(t0_src, jnp.clip(s0 * LANES, 0, n - 1) // stride)
-        - 4, 0, t_pad - tblw)
-    t0c = jnp.clip(
-        _take_small(ctile_str, jnp.clip(c0 * LANES, 0, n - 1) // stride)
-        - 4, 0, t_pad - tblw)
     tbl_c = _shifted_tables(csum_c_excl, t0, tblw)         # [nb_d, tblw]
     tbl_u = _shifted_tables(csum_u_incl, t0c, tblw)
     return jnp.concatenate(
@@ -503,9 +526,9 @@ def _apply_prep(key, key2, prev2, ck_s, k_total, csum_u_incl, csum_c_excl,
 
 
 @functools.partial(jax.jit, static_argnames=("n_tiles", "idx_bits",
-                                             "interpret"))
+                                             "interpret", "debug"))
 def merge_reorder(key, prev_key, payloads, prev_hist, *, n_tiles,
-                  idx_bits, interpret=None):
+                  idx_bits, interpret=None, debug=False):
     """Reorder `key` + `payloads` (int32[n] each, n % 4096 == 0) into
     tile-sorted order by merging against the previous sorted order
     (`prev_key` = the key stream this row order was sorted by, carried
@@ -573,9 +596,9 @@ def merge_reorder(key, prev_key, payloads, prev_hist, *, n_tiles,
     ck_s = sorted_c[0].reshape(k_rag_rows, LANES)
     cpays_s = [p.reshape(k_rag_rows, LANES) for p in sorted_c[1:]]
 
-    scal = _apply_prep(key, key2, prev2, ck_s, k_total, csum_u_incl,
-                       csum_c_excl, n_tiles, idx_bits, t_pad, tblw,
-                       k_rag_rows)
+    scal = _apply_prep(key, key2, prev2, ck_s, k_total, hist_u, hist_c,
+                       csum_u_incl, csum_c_excl, n_tiles, idx_bits, t_pad,
+                       tblw, k_rag_rows)
 
     nb_d = n // DB
     winr = WIN // LANES
@@ -611,4 +634,7 @@ def merge_reorder(key, prev_key, payloads, prev_hist, *, n_tiles,
     opays = [o.reshape(-1) for o in outs[1:1 + n_pay]]
     counts = outs[1 + n_pay][:, 0, 0]
     ok = ok & jnp.all(counts == DB)
+    if debug:
+        return ok, okey, opays, new_hist, (ok_layout, k_total, counts,
+                                           scal)
     return ok, okey, opays, new_hist
