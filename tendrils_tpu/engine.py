@@ -82,6 +82,12 @@ class EngineConfig:
     # 14.6-14.9 vs 17.2-17.6 ms/step at 1M/1080p on v5e (an earlier cut
     # without those measured 19.6 — see BENCHMARKS.md round-3 ledger).
     resident_stream: bool = True
+    # Merge reorder: restore the resident stream's sorted row order by
+    # merging the ~6-9 %/frame churned rows instead of re-sorting all N
+    # (`ops/reorder_pallas.py`; falls back to the flat sort in-frame
+    # whenever its guards trip). OFF until the end-to-end measurement
+    # lands (BENCHMARKS.md round-5 reorder entries).
+    merge_reorder: bool = False
 
     @property
     def n(self) -> int:
@@ -134,6 +140,28 @@ def resident_enabled(cfg: EngineConfig) -> bool:
     """Whether the hot frame runs in resident-stream mode (state rides the
     draw sort; see `EngineConfig.resident_stream`)."""
     return carry_enabled(cfg) and cfg.resident_stream
+
+
+def merge_reorder_enabled(cfg: EngineConfig) -> bool:
+    """Whether resident frames restore sortedness via the merge reorder
+    (see `EngineConfig.merge_reorder`; size gates mirror
+    `fused_draw_accumulate`'s)."""
+    return (cfg.merge_reorder and resident_enabled(cfg)
+            and cfg.n % 4096 == 0 and cfg.n >= 8192)
+
+
+def seed_sort_carry(sim: state_mod.SimState,
+                    cfg: EngineConfig) -> state_mod.SimState:
+    """(Re)seed the merge-reorder carry. The all-MAXKEY previous key
+    makes every row count as churned on the next frame, tripping the
+    merge's capacity guard into the flat-sort fallback — which then
+    re-establishes a valid carry. Structure-stable (arrays, not None), so
+    scans and jit caches never see a pytree change."""
+    from .ops.draw_pallas import seg_tile_count
+    from .ops.reorder_pallas import MAXKEY
+    return dataclasses.replace(
+        sim, sort_key=jnp.full((cfg.n,), MAXKEY, jnp.int32),
+        sort_hist=jnp.zeros((seg_tile_count(cfg.view_res),), jnp.int32))
 
 
 def fast_resolve_ok(cfg: EngineConfig, src=None) -> bool:
@@ -443,6 +471,12 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
         n_local = pos.shape[1]
         ride = None
         idx_arg = None
+        reorder_arg = None
+        if resident and sim.sort_key is not None:
+            # Merge-reorder carry: the key stream the CURRENT row order is
+            # sorted by + its tile histogram (seeded MAXKEY -> first frame
+            # flat-sorts and establishes it; see `seed_sort_carry`).
+            reorder_arg = (sim.sort_key, sim.sort_hist)
         if resident:
             # Only the exact f32 POSITIONS ride the sort; the new velocity
             # is reconstructed from the splat stream's q15 fields (the same
@@ -471,9 +505,21 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
             mapped_scalar=mapped_scalar,
             resolve=("pallas" if presolve else "xla"),
             read_time=read_time, want_eff=want_eff, flow_off=flow_off,
+            reorder=reorder_arg,
             psum=(None if axis_name is None
                   else functools.partial(jax.lax.psum,
                                          axis_name=axis_name)))
+        carry_out = None
+        if reorder_arg is not None:
+            carry_out = out[-1]
+            out = out[:-1]
+            if carry_out is None:
+                # The accumulate-level gate rejected the merge (pads /
+                # non-tile-prefixed keys) — re-seed so the carry's pytree
+                # structure stays fixed and the next frame falls back.
+                from .ops.reorder_pallas import MAXKEY
+                carry_out = (jnp.full_like(sim.sort_key, MAXKEY),
+                             jnp.zeros_like(sim.sort_hist))
         eff = out[-1] if want_eff else None
         new_flow, view0 = out[:2]
         if resident:
@@ -525,6 +571,10 @@ def draw_sim(sim: state_mod.SimState, params, time, cfg: EngineConfig,
                 sim, particles=particles, previous=prev, targets=targets,
                 idx=aux[0][:n], flow=new_flow,
                 view=sim.view.at[0].set(view0))
+            if carry_out is not None:
+                new_sim = dataclasses.replace(
+                    new_sim, sort_key=carry_out[0],
+                    sort_hist=carry_out[1])
             if force is not None:
                 return dataclasses.replace(new_sim, force=force), aux
             if want_eff:
@@ -652,12 +702,27 @@ class Tendrils:
         self.sim = state_mod.make_state(
             cfg.root_num, cfg.view_res, cfg.num_view_buffers,
             cfg.color_map_res, self.seed, cfg.flow_shape)
+        self.reseed_derived()
         self.reset()
         return self
 
     def reset(self):
         """Respawn all-inert — ref `src/index.js:156-160`."""
         return self.spawn()
+
+    def reseed_derived(self):
+        """Re-seed derived SimState caches after an external state swap
+        (setup, resize, checkpoint load): the merge-reorder carry gets its
+        MAXKEY seed (next frame flat-sorts and re-establishes it); the
+        carried force stays as-is/None. Keeps the carry's tile-count in
+        sync with the view geometry."""
+        if self.sim is not None:
+            if merge_reorder_enabled(self.config):
+                self.sim = seed_sort_carry(self.sim, self.config)
+            elif self.sim.sort_key is not None:
+                self.sim = dataclasses.replace(self.sim, sort_key=None,
+                                               sort_hist=None)
+        return self
 
     def restart(self):
         """Clear + reset — ref `src/index.js:241-246`."""
@@ -1000,7 +1065,8 @@ class Tendrils:
             self.sim,
             view=jnp.zeros((cfg.num_view_buffers, 4, h, w), jnp.float32),
             flow=jnp.zeros((4, fh, fw), jnp.float32),
-            force=None)
+            force=None, sort_key=None, sort_hist=None)
+        self.reseed_derived()
         return self
 
     def set_color_map(self, color_map):
@@ -1211,6 +1277,11 @@ def run_headless(sim, params, cfg: EngineConfig, view_size, t0, dt, steps,
             sim, force=initial_force(sim, params, cfg, view_size, t0 + dt))
     elif not carry and sim.force is not None:
         sim = dataclasses.replace(sim, force=None)
+    mr = merge_reorder_enabled(cfg)
+    if mr and sim.sort_key is None:
+        sim = seed_sort_carry(sim, cfg)
+    elif not mr and sim.sort_key is not None:
+        sim = dataclasses.replace(sim, sort_key=None, sort_hist=None)
 
     resident = resident_enabled(cfg)
     if fast_resolve is None:

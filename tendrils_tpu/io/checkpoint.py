@@ -18,12 +18,13 @@ from ..state import SimState
 
 def save_checkpoint(path, engine):
     """Dump engine sim state + live params + timer to `path` (.npz)."""
-    # The carried flow force (if any) is a derived cache — recomputed on the
-    # first frame after load, so it is not persisted.
+    # The carried flow force and the merge-reorder carry are derived
+    # caches — recomputed (or re-seeded) on the first frame after load,
+    # so they are not persisted.
     arrays = {f.name: np.asarray(getattr(engine.sim, f.name))
               for f in dataclasses.fields(engine.sim)
               if getattr(engine.sim, f.name) is not None
-              and f.name != "force"}
+              and f.name not in ("force", "sort_key", "sort_hist")}
     meta = {
         "state": {k: v for k, v in engine.state.items()},
         "timer": {"time": engine.timer.time, "since": engine.timer.since,
@@ -60,6 +61,7 @@ def load_checkpoint(path, engine):
     kw = {f.name: jnp.asarray(data[f.name])
           for f in dataclasses.fields(SimState) if f.name in data}
     engine.sim = SimState(**kw)
+    engine.reseed_derived()
     engine.state.update(meta["state"])
     for k, v in meta["timer"].items():
         setattr(engine.timer, k, v)

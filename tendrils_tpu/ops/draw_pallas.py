@@ -802,10 +802,20 @@ def _pack_kernel(scal_ref, p0x_ref, p0y_ref, p1x_ref, p1y_ref, vx_ref,
 def _bin_and_splat(scal, outs, gather, time, *, tiles_x, pscale,
                    samples, h, w, hp, wp, n_pad, interpret, ride=None,
                    derive_p0=False, scalar_color=False, raw_accum=False,
-                   stable=True, p1_from_ride=None, flow_off=False):
+                   stable=True, p1_from_ride=None, flow_off=False,
+                   reorder=None):
     """Shared pipeline tail: segment sort (with the optional gather
     stream), segment-direct splat kernel, payload reassembly. Returns
-    (flow_parts, view_parts, aux, ride_sorted).
+    (flow_parts, view_parts, aux, ride_sorted, carry).
+
+    `reorder=(prev_key, prev_hist)` (resident frames, caller-gated to
+    n_pad == n, gather in (1, 3), n_pad >= 8192): restore sortedness by
+    the MERGE reorder (`ops/reorder_pallas.py` — compact the ~6-9 %/frame
+    churned rows, sort only those, merge-apply) instead of the flat
+    `lax.sort`, falling back to the flat sort under `lax.cond` whenever
+    the merge's capacity/window guards trip (frame 0's MAXKEY seed, mass
+    respawns). The 5th return `carry = (sorted_key, hist)` is the next
+    frame's `reorder` input (None when `reorder` is None).
 
     `ride`: optional extra per-segment value streams (`[n_pad]` arrays)
     that join the segment sort and come back tile-sorted — the resident
@@ -857,7 +867,24 @@ def _bin_and_splat(scal, outs, gather, time, *, tiles_x, pscale,
     # deterministic order is equally valid.
     ops_all = seg_ops + gouts + ride
     chunks = _sort_chunks(n_pad, BLOCK // samples)
-    if chunks > 1:
+    new_carry = None
+    idx_bits_r = PACK_IDX_BITS if gather == 3 else (20 if gather == 1
+                                                    else 0)
+    num_tiles_r = (hp // TILE_H) * tiles_x
+    if reorder is not None and chunks == 1:
+        from .reorder_pallas import merge_reorder
+        prev_key, prev_hist = reorder
+        ok, key_s, pays_s, _ = merge_reorder(
+            ops_all[0], prev_key, list(ops_all[1:]), prev_hist,
+            n_tiles=num_tiles_r, idx_bits=idx_bits_r, interpret=interpret)
+
+        def _flat(_):
+            return tuple(jax.lax.sort(ops_all, num_keys=1,
+                                      is_stable=stable))
+
+        sorted_ops = list(jax.lax.cond(
+            ok, lambda _: tuple([key_s] + list(pays_s)), _flat, None))
+    elif chunks > 1:
         # Batched chunk sort (see SORT_CHUNKS): per-block sortedness is all
         # the splat kernel needs, and blocks never span a chunk boundary.
         # Pad rows live in the last chunk and still sort to its end.
@@ -867,6 +894,16 @@ def _bin_and_splat(scal, outs, gather, time, *, tiles_x, pscale,
         sorted_ops = [o.reshape(-1) for o in sorted_ops]
     else:
         sorted_ops = jax.lax.sort(ops_all, num_keys=1, is_stable=stable)
+    if reorder is not None:
+        # Next frame's merge inputs: the key stream the new row order is
+        # sorted by + its tile histogram (order-independent, so computed
+        # from the unsorted keys on the MXU).
+        from .reorder_pallas import hist_outer
+        t32 = -(-num_tiles_r // 32) * 32
+        new_hist = hist_outer(
+            jax.lax.shift_right_logical(ops_all[0], idx_bits_r),
+            t32)[:num_tiles_r]
+        new_carry = (sorted_ops[0], new_hist)
     n_sorted = len(seg_ops)
     rem = list(sorted_ops[:n_sorted])
     keym = rem.pop(0)
@@ -989,7 +1026,7 @@ def _bin_and_splat(scal, outs, gather, time, *, tiles_x, pscale,
         # directly (slice/stamp/composite all fuse there).
         if ride:
             ride = ride + [vlu]
-        return out, None, aux, ride
+        return out, None, aux, ride, new_carry
     out = out[:, PAD_LO_H:PAD_LO_H + h, PAD_LO_W:PAD_LO_W + w]
     # Reassemble the flow payload: stamp num = time · wsum (constant stamp).
     stamp_num = time * out[3]
@@ -1001,13 +1038,20 @@ def _bin_and_splat(scal, outs, gather, time, *, tiles_x, pscale,
         # resident engine reconstructs the new velocity from its q15 fields
         # instead of riding two more exact f32 operands through the sort.
         ride = ride + [vlu]
-    return flow_parts, view_parts, aux, ride
+    return flow_parts, view_parts, aux, ride, new_carry
 
 
 def pos_scale_for(grid_hw):
     """The fixed-point sub-pixel scale the fused draw uses for `grid_hw`."""
     hp, wp = _pad_dims(*grid_hw)
     return _pos_scale(hp, wp)
+
+
+def seg_tile_count(grid_hw):
+    """Tile count of the fused draw's segment keys for `grid_hw` — the
+    merge-reorder carry histogram's length (`engine.seed_sort_carry`)."""
+    hp, wp = _pad_dims(*grid_hw)
+    return (hp // TILE_H) * (wp // TILE_W)
 
 
 @functools.partial(jax.jit, static_argnames=("grid_hw", "samples",
@@ -1023,6 +1067,7 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
                           flow_decay=0.0, base_color=None, flow_color=None,
                           derive_p0=False, view_size=None,
                           mapped_scalar=None, raw_accum=False,
+                          reorder=None,
                           flow_off=False):
     """Accumulate both passes' splats.
 
@@ -1193,18 +1238,25 @@ def fused_draw_accumulate(grid_hw, p0_pix, p1_pix, vel, pos_ndc, mapped,
     # stability is only needed when pad rows exist (they must sort after a
     # real row sharing their clamped corner tile).
     stable = gather != 1 and n_pad != n
-    flow_parts, view_parts, aux, ride_s = _bin_and_splat(
+    # Merge-reorder gate: pads may not exist (the merge's U-before-C tile
+    # order would break pads-sort-last), the stream must tile into the
+    # compaction blocks, and the key must carry a tile prefix.
+    if reorder is not None and not (n_pad == n and n_pad % 4096 == 0
+                                    and n_pad >= 8192
+                                    and gather in (1, 3)):
+        reorder = None
+    flow_parts, view_parts, aux, ride_s, carry = _bin_and_splat(
         scal, outs, gather, time, tiles_x=tiles_x,
         pscale=pscale, samples=samples, h=h, w=w, hp=hp, wp=wp,
         n_pad=n_pad, interpret=interpret, ride=ride, derive_p0=derive_p0,
         scalar_color=scalar_color, raw_accum=raw_accum, stable=stable,
-        flow_off=flow_off,
+        flow_off=flow_off, reorder=reorder,
         # Resident rides lead with the exact positions — drop the p1
         # operand from the sort and recompute it post-sort (one fewer
         # 16M-row stream through the bitonic network).
         p1_from_ride=(n if derive_p0 and ride else None))
     if ride is not None:
-        return flow_parts, view_parts, aux, ride_s
+        return flow_parts, view_parts, aux, ride_s, carry
     if idx is None:
         return flow_parts, view_parts
     return flow_parts, view_parts, aux
@@ -1527,7 +1579,7 @@ def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
                idx_bound=None, psum=None,
                derive_p0=False, view_size=None, mapped_scalar=None,
                resolve="xla", read_time=None, want_eff=False,
-               flow_off=False):
+               flow_off=False, reorder=None):
     """Full fused draw: accumulate with in-kernel per-pass line widths
     (`flowWidth` for the flow deposit, `lineWidth` for the view deposit —
     ref `src/index.js:302,336` set `gl.lineWidth` per pass) and the in-kernel
@@ -1568,7 +1620,7 @@ def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
         sin_decay=jnp.sin(time * params["flowDecay"]),
         flow_decay=params["flowDecay"],
         base_color=params["baseColor"], flow_color=params["flowColor"],
-        raw_accum=pallas_resolve, flow_off=flow_off)
+        raw_accum=pallas_resolve, flow_off=flow_off, reorder=reorder)
     if pallas_resolve:
         accum = out[0]
         if psum is not None:
@@ -1595,6 +1647,11 @@ def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
             ret.append(out[3])
         if want_eff:
             ret.append(res[2])
+        if reorder is not None:
+            # (sorted_key, hist) for the next frame's merge — None when
+            # the accumulate-level gate rejected the merge (pads, small
+            # N, no tile-prefixed key); the engine then re-seeds.
+            ret.append(out[4] if has_ride else None)
         return tuple(ret)
     flow_parts, view_parts = out[:2]
     if psum is not None:
@@ -1606,6 +1663,8 @@ def fused_draw(flow, view, p0_pix, p1_pix, vel, pos_ndc, mapped, live,
     new_view = composite_over(
         view, *_widen_excess(view_parts, params["lineWidth"]))
     if has_ride:
+        if reorder is not None:
+            return new_flow, new_view, out[2], out[3], out[4]
         return new_flow, new_view, out[2], out[3]
     if idx is None:
         return new_flow, new_view

@@ -60,7 +60,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 SB = 4096         # compaction source block (rows)
-DB = 2048         # merge-apply dest block (rows)
+DB = 4096         # merge-apply dest block (elements; 4096 halves the
+                  # apply kernel's window-routing passes vs 2048 — same
+                  # windows serve twice the dests)
 WIN = 8192        # U source window per dest block (rows)
 CWIN = 4096       # sorted-C window per dest block (rows)
 TBLW = 32         # per-block table slice (tiles) for rank lookups
@@ -357,7 +359,7 @@ def _apply_kernel(scal_ref, key_ref, prev_ref, *rest, n_pay, winr, cwinr,
     sel_u = mask_u & (d_u >= 0) & (d_u < dbr * LANES)
     uw, pu_full = _route_to(
         [ukey] + [ustage[2 + i][:] for i in range(n_pay)],
-        sel_u, d_u, n_bits_w=13, n_bits_d=11)            # WIN 8192, DB 2048
+        sel_u, d_u, n_bits_w=13, n_bits_d=12)            # WIN 8192, DB 4096
 
     # --- C ranks: #U in tiles <= t + global index among valid C rows. ---
     ckey = cstage[0][:]
@@ -371,7 +373,7 @@ def _apply_kernel(scal_ref, key_ref, prev_ref, *rest, n_pay, winr, cwinr,
     sel_c = valid_c & (d_c >= 0) & (d_c < dbr * LANES)
     cw, pc_full = _route_to(
         [ckey] + [cstage[1 + i][:] for i in range(n_pay)],
-        sel_c, d_c, n_bits_w=12, n_bits_d=11)            # CWIN 4096
+        sel_c, d_c, n_bits_w=12, n_bits_d=12)            # CWIN 4096
 
     pu = pu_full[:dbr]
     pc = pc_full[:dbr]

@@ -105,6 +105,15 @@ class SimState:
                  sort (engine.resident_enabled), so per-particle constants
                  (uv, variance index, colour-map uv) are recomputed from
                  `idx`. Identity permutation otherwise.
+      sort_key / sort_hist: `i32[N]` / `i32[num_tiles]` or None — the
+                 merge-reorder carry (resident frames with
+                 `EngineConfig.merge_reorder`): the segment-key stream
+                 the current row ORDER is sorted by + its tile histogram
+                 (`ops/reorder_pallas.py`). Derived state — a MAXKEY-
+                 filled key (the seed) makes the next frame fall back to
+                 the flat sort and re-establish the carry, so spawns and
+                 buffer edits never invalidate it (they change keys, not
+                 the row order).
       force:     `f32[2, N]` or None — the flow force for the NEXT step,
                  pre-gathered at the end of the previous frame by reusing
                  the fused draw's segment binning (so the step pays no
@@ -123,6 +132,8 @@ class SimState:
     key: jax.Array
     idx: jax.Array
     force: Any = None
+    sort_key: Any = None
+    sort_hist: Any = None
 
 
 def make_state(root_num: int = 512, view_res=(720, 1280), num_view_buffers=1,
