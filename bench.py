@@ -35,6 +35,10 @@ BASELINE_PSTEPS = 1024 * 1024 * 60  # reference tier-1 @ 60 steps/s
 # degrades the bench instead of zeroing it (the driver records nothing on
 # a crash).
 _FR_MODE = os.environ.get("TT_FR", "auto")
+# TT_MERGE=1: resident frames restore sortedness via the merge reorder
+# (EngineConfig.merge_reorder) - the A/B switch for the round-5
+# measurement; default follows the config default.
+_MERGE_MODE = os.environ.get("TT_MERGE", "")
 
 
 def _fr(eng):
@@ -50,6 +54,8 @@ def _engine(root, view, on_tpu, **kw):
     from tendrils_tpu import EngineConfig, Tendrils
     from tendrils_tpu.ops import spawn
 
+    if _MERGE_MODE in ("0", "1"):
+        kw.setdefault("merge_reorder", _MERGE_MODE == "1")
     cfg = EngineConfig(
         root_num=root, view_res=view,
         splat_backend="pallas" if on_tpu else "xla",
